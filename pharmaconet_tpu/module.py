@@ -1,0 +1,417 @@
+"""PharmacoNet orchestrator: one fused device program per pocket.
+
+Rebuilds /root/reference/src/pmnet/module.py:49-309 as a TPU-native
+pipeline. Where the reference runs parse (CPU numba voxelizer) → torch
+forward → a Python loop of per-hotspot segmentation calls (step 1-4) → host
+masking/smoothing, this implementation compiles ONE XLA program that takes
+padded atom/token arrays and produces thresholded density maps:
+
+    voxelize (MXU rasterizer) → SwinV2-3D + FPN → cavity/token heads
+    → relative-score + cavity gating → top-K hotspot selection
+    → chunked batched segmentation → fused mask/smooth/threshold
+
+Only graph construction (tiny N) happens on the host afterwards. Shapes are
+bucketed (atoms, tokens) to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .chem import Protein, load_molecules, load_pdb, residues_to_pdbblock
+from .chem.pocket import extract_pocket_residues
+from .data.featurizer import (
+    get_protein_pointcloud,
+    get_token_and_filter,
+    get_token_informations,
+)
+from .network.convert import load_npz_checkpoint, load_reference_checkpoint
+from .network.model import build_model
+from .ops.postprocess import postprocess_density
+from .ops.voxelize import voxelize
+from .pharmacophore.model import PharmacophoreModel
+
+logger = logging.getLogger("pharmaconet_tpu")
+
+ATOM_BUCKETS = (1024, 2048, 4096, 8192)
+TOKEN_BUCKETS = (256, 512, 1024, 2048)
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"input size {n} exceeds the largest bucket {buckets[-1]}")
+
+
+class ProteinData:
+    """Padded, device-ready pocket arrays + host-side metadata."""
+
+    def __init__(
+        self,
+        atom_positions: np.ndarray,
+        atom_features: np.ndarray,
+        atom_valid: np.ndarray,
+        tokens: np.ndarray,
+        token_valid: np.ndarray,
+        token_positions: np.ndarray,
+        center: np.ndarray,
+        pdbblock: str,
+    ):
+        self.atom_positions = atom_positions
+        self.atom_features = atom_features
+        self.atom_valid = atom_valid
+        self.tokens = tokens
+        self.token_valid = token_valid
+        self.token_positions = token_positions  # [T, 3] float (unpadded at host)
+        self.center = center
+        self.pdbblock = pdbblock
+
+
+class PharmacoNet:
+    """End-to-end pharmacophore modeling on TPU.
+
+    weight_path: native .npz checkpoint or the reference torch model.tar.
+                 If None, parameters are randomly initialized (architecture
+                 development mode; real modeling needs trained weights).
+    """
+
+    def __init__(
+        self,
+        weight_path: str | Path | None = None,
+        score_threshold: float | dict[str, float] | None = C.DEFAULT_SCORE_THRESHOLD,
+        verbose: bool = True,
+        max_hotspots: int = C.MAX_HOTSPOTS,
+        segmentation_chunk: int = C.SEGMENTATION_CHUNK,
+        grid_dim: int = C.GRID_DIM,
+        model_kwargs: dict | None = None,
+        _random_init_seed: int | None = None,
+    ):
+        self.grid_dim = grid_dim
+        self.model = build_model(image_size=grid_dim, **(model_kwargs or {}))
+        self._random_init_seed = _random_init_seed
+        self.max_hotspots = max_hotspots
+        self.segmentation_chunk = segmentation_chunk
+        self.focus_threshold = C.DEFAULT_FOCUS_THRESHOLD
+        self.box_threshold = C.DEFAULT_BOX_THRESHOLD
+        self.verbose = verbose
+
+        if isinstance(score_threshold, dict):
+            self.score_threshold = score_threshold
+        elif isinstance(score_threshold, float):
+            self.score_threshold = {t: score_threshold for t in C.INTERACTION_LIST}
+        else:
+            self.score_threshold = C.DEFAULT_SCORE_THRESHOLD
+
+        params, distributions = self._load_weights(weight_path)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._setup_distributions(distributions)
+        self._threshold_vector = jnp.asarray(
+            [self.score_threshold[t] for t in C.INTERACTION_LIST], dtype=jnp.float32
+        )
+
+    # ------------------------------------------------------------------
+    def _load_weights(self, weight_path):
+        if weight_path is None:
+            logger.warning("no weights given — using random parameters")
+            params = self._random_params(self._random_init_seed or 0)
+            rng = np.random.default_rng(0)
+            distributions = {
+                t: np.sort(rng.uniform(0, 1, size=1000).astype(np.float32))
+                for t in C.INTERACTION_LIST
+            }
+            return params, distributions
+        weight_path = Path(weight_path)
+        if weight_path.suffix == ".npz":
+            return load_npz_checkpoint(weight_path)
+        params, distributions, _ = load_reference_checkpoint(weight_path)
+        return params, distributions
+
+    def _random_params(self, seed: int) -> dict:
+        """Shape-only init via eval_shape (no compile) + host random fill."""
+        dim = self.grid_dim
+        image = jax.ShapeDtypeStruct((1, dim, dim, dim, 33), jnp.float32)
+        tokens = jax.ShapeDtypeStruct((4, 4), jnp.int32)
+        shapes = jax.eval_shape(self.model.init, jax.random.PRNGKey(0), image, tokens)
+        rng = np.random.default_rng(seed)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        leaves = []
+        for path, leaf in flat:
+            name = str(path[-1])
+            if "var" in name or "scale" in name:
+                leaves.append(np.ones(leaf.shape, dtype=np.float32))
+            else:
+                leaves.append(rng.normal(0.0, 0.05, size=leaf.shape).astype(np.float32))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def _setup_distributions(self, distributions: dict[str, np.ndarray]) -> None:
+        """Pack per-type empirical score distributions for device searchsorted."""
+        self.score_distributions = distributions
+        max_len = max(len(d) for d in distributions.values())
+        packed = np.full((C.NUM_INTERACTION_TYPES, max_len), np.inf, dtype=np.float32)
+        lengths = np.zeros(C.NUM_INTERACTION_TYPES, dtype=np.float32)
+        for i, t in enumerate(C.INTERACTION_LIST):
+            d = np.sort(np.asarray(distributions[t], dtype=np.float32))
+            packed[i, : len(d)] = d
+            lengths[i] = len(d)
+        self._dist_packed = jnp.asarray(packed)
+        self._dist_lengths = jnp.asarray(lengths)
+
+    # ------------------------------------------------------------------
+    # Host parsing (input pipeline)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def get_center(
+        ref_ligand_path: str | Path | None = None,
+        center: tuple[float, float, float] | np.ndarray | None = None,
+    ) -> tuple[float, float, float]:
+        if center is not None:
+            assert len(center) == 3
+            return (float(center[0]), float(center[1]), float(center[2]))
+        assert ref_ligand_path is not None
+        mol = load_molecules(ref_ligand_path, max_mols=1)[0].strip_hydrogens()
+        c = mol.coords.mean(axis=0)
+        return (float(c[0]), float(c[1]), float(c[2]))
+
+    def parse(
+        self,
+        protein_pdb_path: str | Path,
+        ref_ligand_path: str | Path | None = None,
+        center=None,
+        pocket_extract: bool = True,
+        center_noise: float = 0.0,
+    ) -> ProteinData:
+        center = np.asarray(self.get_center(ref_ligand_path, center), dtype=np.float32)
+        if center_noise > 0:
+            center = center + (np.random.rand(3).astype(np.float32) * 2 - 1) * center_noise
+        residues = load_pdb(protein_pdb_path)
+        if pocket_extract:
+            pocket = extract_pocket_residues(residues, center)
+        else:
+            pocket = residues
+        protein = Protein.from_residues(pocket)
+
+        token_positions, token_classes = get_token_informations(protein)
+        tokens, keep = get_token_and_filter(
+            token_positions, token_classes, center, dimension=self.grid_dim
+        )
+        token_positions = token_positions[keep]
+
+        atom_positions, atom_features = get_protein_pointcloud(protein)
+
+        num_atoms = len(atom_positions)
+        pad_atoms = _bucket(num_atoms, ATOM_BUCKETS)
+        ap = np.zeros((pad_atoms, 3), dtype=np.float32)
+        af = np.zeros((pad_atoms, C.NUM_PROTEIN_CHANNELS), dtype=np.float32)
+        av = np.zeros((pad_atoms,), dtype=bool)
+        ap[:num_atoms], af[:num_atoms], av[:num_atoms] = atom_positions, atom_features, True
+
+        num_tokens = len(tokens)
+        pad_tokens = _bucket(max(num_tokens, 1), TOKEN_BUCKETS)
+        tk = np.zeros((pad_tokens, 4), dtype=np.int32)
+        tv = np.zeros((pad_tokens,), dtype=bool)
+        tk[:num_tokens] = tokens.astype(np.int32)
+        tv[:num_tokens] = True
+
+        with open(protein_pdb_path) as f:
+            pdbblock = f.read()
+        return ProteinData(ap, af, av, tk, tv, token_positions, center, pdbblock)
+
+    # ------------------------------------------------------------------
+    # Fused device programs
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "with_segmentation"))
+    def _device_program(
+        self,
+        atom_positions: jax.Array,
+        atom_features: jax.Array,
+        atom_valid: jax.Array,
+        tokens: jax.Array,
+        token_valid: jax.Array,
+        center: jax.Array,
+        with_segmentation: bool = True,
+    ) -> dict[str, jax.Array]:
+        # 1. voxelize (dual-radius single pass)
+        image, occupancy = voxelize(
+            atom_positions, atom_features, atom_valid, center, dim=self.grid_dim
+        )
+        protein_mask = ~occupancy  # True = empty space (parser.py:99)
+
+        # 2. trunk + cavity + token heads
+        pyramid = self.model.apply(
+            self.params, image[None], method="forward_feature"
+        )
+        narrow_logit, wide_logit = self.model.apply(
+            self.params, pyramid[-1], method="forward_cavity_extraction"
+        )
+        cavity_narrow = jax.nn.sigmoid(narrow_logit[0, ..., 0]) > self.focus_threshold
+        cavity_wide = jax.nn.sigmoid(wide_logit[0, ..., 0]) > self.focus_threshold
+
+        token_logits, token_features = self.model.apply(
+            self.params, pyramid[-1], tokens, method="forward_token_prediction"
+        )
+        abs_scores = jax.nn.sigmoid(token_logits)  # [T]
+
+        # 3. relative scores: mean(dist[type] < score) via searchsorted
+        types = tokens[:, 3]
+        dists = self._dist_packed[types]  # [T, L]
+        counts = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(dists, abs_scores)
+        rel_scores = counts.astype(jnp.float32) / self._dist_lengths[types]
+
+        # 4. gating: threshold + cavity membership (module.py:238-253)
+        is_long = jnp.isin(types, jnp.asarray(sorted(C.LONG_INTERACTION)))
+        cavity = jnp.where(is_long, cavity_wide[tokens[:, 0], tokens[:, 1], tokens[:, 2]],
+                           cavity_narrow[tokens[:, 0], tokens[:, 1], tokens[:, 2]])
+        keep = token_valid & cavity & (rel_scores >= self._threshold_vector[types])
+
+        out: dict[str, Any] = {
+            "pyramid": pyramid,
+            "protein_mask": protein_mask,
+            "cavity_narrow": cavity_narrow,
+            "cavity_wide": cavity_wide,
+            "abs_scores": abs_scores,
+            "rel_scores": rel_scores,
+            "keep": keep,
+            "token_features": token_features,
+        }
+        if not with_segmentation:
+            return out
+
+        # 5. top-K hotspot selection (stable: kept tokens first, index order)
+        k = self.max_hotspots
+        order = jnp.argsort(~keep, stable=True)
+        hotspot_idx = order[:k]
+        hotspot_valid = keep[hotspot_idx]
+        hotspot_tokens = tokens[hotspot_idx]
+        hotspot_feats = token_features[hotspot_idx]
+
+        # 6. chunked batched segmentation (replaces module.py:261-276 loop)
+        chunk = self.segmentation_chunk
+        tok_chunks = hotspot_tokens.reshape(k // chunk, chunk, 4)
+        feat_chunks = hotspot_feats.reshape(k // chunk, chunk, -1)
+
+        def seg_chunk(args):
+            tk, ft = args
+            return self.model.apply(
+                self.params, pyramid, tk, ft, method="forward_segmentation"
+            )
+
+        logits = jax.lax.map(seg_chunk, (tok_chunks, feat_chunks))
+        logits = logits.reshape(k, *logits.shape[2:])  # [K, D, H, W]
+
+        # 7. fused masking + smoothing + thresholding
+        density = postprocess_density(
+            logits, hotspot_tokens, protein_mask, cavity_narrow, self.box_threshold
+        )
+        density = jnp.where(hotspot_valid[:, None, None, None], density, 0.0)
+
+        out.update(
+            hotspot_index=hotspot_idx,
+            hotspot_valid=hotspot_valid,
+            density_maps=density,
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # Public API (mirrors reference module.py:112-188)
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        protein_pdb_path: str | Path,
+        ref_ligand_path: str | Path | None = None,
+        center=None,
+    ) -> PharmacophoreModel:
+        assert (ref_ligand_path is not None) or (center is not None)
+        data = self.parse(protein_pdb_path, ref_ligand_path, center)
+        hotspot_infos = self.create_density_maps(data)
+        return PharmacophoreModel.create(
+            data.pdbblock, data.center, hotspot_infos, size=self.grid_dim
+        )
+
+    def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:
+        out = self._device_program(
+            jnp.asarray(data.atom_positions),
+            jnp.asarray(data.atom_features),
+            jnp.asarray(data.atom_valid),
+            jnp.asarray(data.tokens),
+            jnp.asarray(data.token_valid),
+            jnp.asarray(data.center),
+            with_segmentation=True,
+        )
+        density = np.asarray(out["density_maps"])
+        hotspot_idx = np.asarray(out["hotspot_index"])
+        hotspot_valid = np.asarray(out["hotspot_valid"])
+        rel_scores = np.asarray(out["rel_scores"])
+
+        hotspot_infos = []
+        for slot in range(len(hotspot_idx)):
+            if not hotspot_valid[slot]:
+                continue
+            dmap = density[slot]
+            if np.all(dmap < 1e-6):
+                continue
+            token_i = int(hotspot_idx[slot])
+            interaction_type = C.INTERACTION_LIST[int(data.tokens[token_i, 3])]
+            hotspot_infos.append(
+                {
+                    "nci_type": interaction_type,
+                    "hotspot_type": C.INTERACTION_TO_HOTSPOT[interaction_type],
+                    "hotspot_position": tuple(
+                        float(v) for v in data.token_positions[token_i]
+                    ),
+                    "hotspot_score": float(rel_scores[token_i]),
+                    "point_type": C.INTERACTION_TO_PHARMACOPHORE[interaction_type],
+                    "point_map": dmap,
+                }
+            )
+        if self.verbose:
+            logger.info("detected %d hotspots", len(hotspot_infos))
+        return hotspot_infos
+
+    def feature_extraction(
+        self,
+        protein_pdb_path: str | Path,
+        ref_ligand_path: str | Path | None = None,
+        center=None,
+    ) -> tuple[list[np.ndarray], list[dict[str, Any]]]:
+        data = self.parse(protein_pdb_path, ref_ligand_path, center)
+        return self.run_extraction(data)
+
+    def run_extraction(self, data: ProteinData) -> tuple[list[np.ndarray], list[dict[str, Any]]]:
+        """Pocket multi-scale features + hotspot features (module.py:137-188)."""
+        out = self._device_program(
+            jnp.asarray(data.atom_positions),
+            jnp.asarray(data.atom_features),
+            jnp.asarray(data.atom_valid),
+            jnp.asarray(data.tokens),
+            jnp.asarray(data.token_valid),
+            jnp.asarray(data.center),
+            with_segmentation=False,
+        )
+        keep = np.asarray(out["keep"])
+        rel_scores = np.asarray(out["rel_scores"])
+        token_features = np.asarray(out["token_features"])
+
+        hotspot_infos = []
+        for i in np.nonzero(keep)[0]:
+            interaction_type = C.INTERACTION_LIST[int(data.tokens[i, 3])]
+            hotspot_infos.append(
+                {
+                    "nci_type": interaction_type,
+                    "hotspot_type": C.INTERACTION_TO_HOTSPOT[interaction_type],
+                    "hotspot_feature": token_features[i],
+                    "hotspot_position": tuple(float(v) for v in data.token_positions[i]),
+                    "hotspot_score": float(rel_scores[i]),
+                    "point_type": C.INTERACTION_TO_PHARMACOPHORE[interaction_type],
+                }
+            )
+        multi_scale_features = [np.asarray(p) for p in out["pyramid"]]
+        return multi_scale_features, hotspot_infos

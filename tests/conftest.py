@@ -7,10 +7,17 @@ multi-chip path. Real-TPU benchmarking happens in bench.py, not in tests.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the remote-TPU platform and sets
+# jax_platforms="axon,cpu" regardless of the environment; re-pin to CPU so
+# tests run locally (eager ops over the TPU tunnel are network roundtrips).
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
