@@ -100,7 +100,8 @@ def voxelize(
         return img, occ
 
     num_voxels = dim * dim * dim
-    chunked = voxels.reshape(num_voxels // VOXEL_CHUNK, VOXEL_CHUNK, 3)
+    chunk = min(VOXEL_CHUNK, num_voxels)
+    chunked = voxels.reshape(num_voxels // chunk, chunk, 3)
     image, occupancy = jax.lax.map(chunk_fn, chunked)
     image = image.reshape(dim, dim, dim, num_channels)
     occupancy = occupancy.reshape(dim, dim, dim)

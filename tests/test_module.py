@@ -1,0 +1,69 @@
+"""End-to-end modeling pipeline test on the bundled 6OIM example.
+
+Uses a micro architecture + random weights (the published checkpoint is not
+redistributable in this environment), exercising: pocket extraction →
+tokenization → voxelization → trunk/heads → hotspot selection → batched
+segmentation → density post-processing → graph build → .pm serialization →
+scoring.
+"""
+
+import numpy as np
+import pytest
+
+from pharmaconet_tpu.module import PharmacoNet
+from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+
+MICRO = dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=2, token_feature_dim=16)
+
+
+@pytest.fixture(scope="module")
+def micro_pmnet():
+    return PharmacoNet(
+        weight_path=None,
+        score_threshold=0.0,  # keep all tokens that land in a cavity
+        verbose=False,
+        max_hotspots=8,
+        segmentation_chunk=4,
+        grid_dim=16,
+        model_kwargs=MICRO,
+    )
+
+
+def test_parse(micro_pmnet, protein_pdb, ref_ligand_pdb):
+    data = micro_pmnet.parse(protein_pdb, ref_ligand_pdb)
+    assert data.atom_valid.sum() > 100
+    assert data.token_valid.sum() > 0
+    num_tokens = int(data.token_valid.sum())
+    assert data.token_positions.shape == (num_tokens, 3)
+    assert data.tokens[:num_tokens, :3].max() < 16
+
+
+def test_run_end_to_end(micro_pmnet, protein_pdb, ref_ligand_pdb, tmp_path):
+    model = micro_pmnet.run(protein_pdb, ref_ligand_path=ref_ligand_pdb)
+    assert isinstance(model, PharmacophoreModel)
+    assert model.pdbblock
+    # random weights: structure checks only
+    for node in model.nodes:
+        assert node.radius > 0
+        assert len(node.neighbor_edge_dict) == len(model.nodes)
+    path = tmp_path / "out.pm"
+    model.save(path)
+    loaded = PharmacophoreModel.load(path)
+    assert len(loaded.nodes) == len(model.nodes)
+    assert len(loaded.node_clusters) == len(model.node_clusters)
+
+
+def test_feature_extraction(micro_pmnet, protein_pdb, ref_ligand_pdb):
+    features, hotspot_infos = micro_pmnet.feature_extraction(
+        protein_pdb, ref_ligand_path=ref_ligand_pdb
+    )
+    assert len(features) == 3  # micro config: 3 pyramid levels
+    assert features[-1].shape == (1, 16, 16, 16, 8)
+    for info in hotspot_infos:
+        assert info["hotspot_feature"].shape == (16,)
+        assert 0.0 <= info["hotspot_score"] <= 1.0
+
+
+def test_center_from_ref_ligand(micro_pmnet, ref_ligand_pdb):
+    center = micro_pmnet.get_center(ref_ligand_pdb)
+    np.testing.assert_allclose(center, (1.872, -8.260, -1.361), atol=2e-3)
