@@ -1,0 +1,99 @@
+"""Batched device screening must match the host GraphMatcher exactly."""
+
+import numpy as np
+import pytest
+
+from pharmaconet_tpu.chem.smallmol import parse_sdf
+from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+from pharmaconet_tpu.scoring.batch_screen import BatchScreener
+from pharmaconet_tpu.scoring.graph_match import GraphMatcher
+from pharmaconet_tpu.scoring.ligand import Ligand
+
+from helpers import ACETATE_SDF, BENZENE_SDF, ETHANOL_SDF, _model_state
+
+
+@pytest.fixture(scope="module")
+def rich_model():
+    """Synthetic pocket model: several clusters of different types."""
+    nodes = [
+        ("Hydrophobic", "Hydrophobic", (0.0, 0.0, 0.0), 0.9),
+        ("Hydrophobic", "Hydrophobic", (1.8, 0.5, 0.0), 1.1),
+        ("Aromatic", "PiStacking_P", (4.0, 1.0, 0.5), 1.4),
+        ("HBond_donor", "HBond_ldon", (2.5, 3.0, 1.0), 0.8),
+        ("HBond_acceptor", "HBond_pdon", (5.5, 3.5, -1.0), 0.8),
+        ("Anion", "SaltBridge_lneg", (6.5, 0.0, 2.0), 1.2),
+        ("Cation", "PiCation_pring", (-2.0, 2.0, 1.0), 1.0),
+    ]
+    clusters = [
+        ("Hydrophobic", [0, 1]),
+        ("Aromatic", [2]),
+        ("HBond", [3]),
+        ("HBond", [4]),
+        ("Anion", [5]),
+        ("Cation", [6]),
+    ]
+    model = PharmacophoreModel()
+    model.__setstate__(_model_state(nodes, clusters))
+    return model
+
+
+def _multi_conformer(ligand_sdf: str, num_conf: int, seed: int) -> Ligand:
+    mol = parse_sdf(ligand_sdf)[0].strip_hydrogens()
+    rng = np.random.default_rng(seed)
+    base = mol.coords
+    confs = [base]
+    for _ in range(num_conf - 1):
+        # rigid rotation + translation + small jitter
+        theta = rng.uniform(0, 2 * np.pi)
+        rot = np.array(
+            [
+                [np.cos(theta), -np.sin(theta), 0],
+                [np.sin(theta), np.cos(theta), 0],
+                [0, 0, 1],
+            ],
+            dtype=np.float32,
+        )
+        shifted = base @ rot.T + rng.uniform(-2, 2, size=(1, 3)).astype(np.float32)
+        shifted += rng.normal(0, 0.1, size=base.shape).astype(np.float32)
+        confs.append(shifted.astype(np.float32))
+    return Ligand(mol, confs)
+
+
+@pytest.fixture(scope="module")
+def test_ligands():
+    ligands = [
+        Ligand(parse_sdf(ETHANOL_SDF)[0]),
+        Ligand(parse_sdf(BENZENE_SDF)[0]),
+        Ligand(parse_sdf(ACETATE_SDF)[0]),
+        _multi_conformer(ETHANOL_SDF, 4, seed=1),
+        _multi_conformer(BENZENE_SDF, 3, seed=2),
+        _multi_conformer(ACETATE_SDF, 5, seed=3),
+    ]
+    return ligands
+
+
+def test_batch_matches_host(rich_model, test_ligands):
+    host_scores = [GraphMatcher(rich_model, lig).run() for lig in test_ligands]
+    screener = BatchScreener(rich_model)
+    batch_scores = screener.score_ligands(test_ligands)
+    assert len(batch_scores) == len(host_scores)
+    np.testing.assert_allclose(batch_scores, host_scores, rtol=2e-5, atol=1e-6)
+    # sanity: at least one ligand actually scores > 0
+    assert max(host_scores) > 0.0
+
+
+def test_batch_matches_host_custom_weights(rich_model, test_ligands):
+    weights = {"Hydrophobic": 2.0, "Anion": 10.0, "HBond_donor": 1.0}
+    host_scores = [GraphMatcher(rich_model, lig, weights).run() for lig in test_ligands]
+    batch_scores = BatchScreener(rich_model, weights).score_ligands(test_ligands)
+    np.testing.assert_allclose(batch_scores, host_scores, rtol=2e-5, atol=1e-6)
+
+
+def test_batch_shifted_ligand(rich_model):
+    """Ligand far outside the model still agrees (prune/fail paths)."""
+    mol = parse_sdf(ETHANOL_SDF)[0]
+    mol.coords = mol.coords + np.float32(100.0)
+    lig = Ligand(mol)
+    host = GraphMatcher(rich_model, lig).run()
+    batch = BatchScreener(rich_model).score_ligands([lig])[0]
+    assert batch == pytest.approx(host, abs=1e-6)
