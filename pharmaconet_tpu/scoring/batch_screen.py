@@ -177,16 +177,26 @@ class ScreenBatch:
     cmax: int
 
 
-def build_batch(model: PackedModel, ligands: list[PackedLigand]) -> ScreenBatch:
-    """Flatten a ligand batch into device block arrays (host, numpy)."""
+def build_batch(
+    model: PackedModel,
+    ligands: list[PackedLigand],
+    ln: int | None = None,
+    cmax: int | None = None,
+    lmax: int | None = None,
+) -> ScreenBatch:
+    """Flatten a ligand batch into device block arrays (host, numpy).
+
+    ln/cmax/lmax fix the node/conformer/cluster padding (for multi-shard
+    batches that must share shapes); default to the batch maxima.
+    """
     num_types = len(PHARMACOPHORE_TYPES)
     sub_mu, sub_std, sub_w, sub_d, sub_block = [], [], [], [], []
     block_mn, block_pair, block_cross = [], [], []
     pair_threshold, pair_meta = [], []
     candidates_all, pair_slices, cluster_counts = [], [], []
 
-    ln = max(p.node_pos.shape[0] for p in ligands)
-    cmax = max(p.num_conformers for p in ligands)
+    ln = ln or max(p.node_pos.shape[0] for p in ligands)
+    cmax = cmax or max(p.num_conformers for p in ligands)
 
     for li, lig in enumerate(ligands):
         pair_start = len(pair_threshold)
@@ -284,7 +294,7 @@ def build_batch(model: PackedModel, ligands: list[PackedLigand]) -> ScreenBatch:
 
     node_pos = np.zeros((len(ligands), ln, cmax, 3), dtype=np.float32)
     num_conf = np.zeros(len(ligands), dtype=np.int32)
-    lmax = max(len(lig.clusters) for lig in ligands)
+    lmax = lmax or max(len(lig.clusters) for lig in ligands)
     lig_center = np.zeros((len(ligands), lmax, cmax, 3), dtype=np.float32)
     lig_size = np.zeros((len(ligands), lmax, cmax), dtype=np.float32)
     for li, lig in enumerate(ligands):
@@ -453,9 +463,10 @@ class BatchScreener:
             out[i] = s
         return out
 
-    def run_device(self, batch: ScreenBatch) -> jax.Array:
+    def device_args(self, batch: ScreenBatch) -> tuple:
+        """Transfer batch arrays to device once (reusable across calls)."""
         m = self.packed_model
-        return score_blocks_device(
+        return (
             jnp.asarray(batch.node_pos),
             jnp.asarray(batch.sub_mu),
             jnp.asarray(batch.sub_std),
@@ -471,6 +482,13 @@ class BatchScreener:
             jnp.asarray(batch.lig_cluster_size),
             jnp.asarray(m.cluster_center),
             jnp.asarray(m.cluster_size),
+        )
+
+    def run_device(self, batch: ScreenBatch, args: tuple | None = None) -> jax.Array:
+        if args is None:
+            args = self.device_args(batch)
+        return score_blocks_device(
+            *args,
             num_blocks=len(batch.block_mn),
             num_pairs=len(batch.pair_threshold),
         )
