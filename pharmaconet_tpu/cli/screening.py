@@ -1,0 +1,104 @@
+"""Virtual screening CLI.
+
+Mirrors /root/reference/screening.py:9-75 (flags, library discovery, CSV
+output) but replaces the fork-based multiprocessing pool with the TPU batch
+screener: ligand files are parsed and packed on the host, then scored in
+device batches (sharded over all local devices when more than one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        "scoring", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    cfg = parser.add_argument_group("config")
+    cfg.add_argument("-p", "--pharmacophore_model", type=str, required=True,
+                     help="path of pharmacophore model (.pm | .json)")
+    cfg.add_argument("-d", "--library_dir", type=str, required=True,
+                     help="molecular library directory path")
+    cfg.add_argument("-o", "--out", type=str, required=True, help="result CSV path")
+    cfg.add_argument("--batch_size", type=int, default=1024, help="ligands per device batch")
+    cfg.add_argument("--cpus", type=int, default=1,
+                     help="accepted for reference compatibility (unused: scoring runs on device)")
+
+    param = parser.add_argument_group("parameter")
+    param.add_argument("--hydrophobic", type=float, default=1.0, help="weight for hydrophobic carbon")
+    param.add_argument("--aromatic", type=float, default=4.0, help="weight for aromatic ring")
+    param.add_argument("--hba", type=float, default=4.0, help="weight for hbond acceptor")
+    param.add_argument("--hbd", type=float, default=4.0, help="weight for hbond donor")
+    param.add_argument("--halogen", type=float, default=4.0, help="weight for halogen atom")
+    param.add_argument("--anion", type=float, default=8.0, help="weight for anion")
+    param.add_argument("--cation", type=float, default=8.0, help="weight for cation")
+    return parser
+
+
+def main(args) -> int:
+    import jax
+
+    from pharmaconet_tpu.parallel.screening import ShardedScreener
+    from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+    from pharmaconet_tpu.scoring.batch_screen import BatchScreener
+    from pharmaconet_tpu.scoring.ligand import Ligand
+
+    model = PharmacophoreModel.load(args.pharmacophore_model)
+    weights = dict(
+        Cation=args.cation,
+        Anion=args.anion,
+        Aromatic=args.aromatic,
+        HBond_donor=args.hbd,
+        HBond_acceptor=args.hba,
+        Halogen=args.halogen,
+        Hydrophobic=args.hydrophobic,
+    )
+    library = Path(args.library_dir)
+    files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
+    print(f"find {len(files)} molecules")
+
+    if len(jax.devices()) > 1:
+        screener = ShardedScreener(model, weights)
+    else:
+        screener = BatchScreener(model, weights)
+
+    results: list[tuple[Path, float]] = []
+    batch_files: list[Path] = []
+    batch_ligands: list[Ligand] = []
+
+    def flush():
+        if not batch_ligands:
+            return
+        scores = screener.score_ligands(batch_ligands)
+        results.extend(zip(batch_files, scores))
+        batch_files.clear()
+        batch_ligands.clear()
+
+    for path in files:
+        try:
+            batch_ligands.append(Ligand.load_from_file(path))
+            batch_files.append(path)
+        except Exception as e:
+            print(f"skip {path}: {e}", file=sys.stderr)
+            continue
+        if len(batch_ligands) >= args.batch_size:
+            flush()
+    flush()
+
+    results.sort(key=lambda x: x[1], reverse=True)
+    with open(args.out, "w") as w:
+        w.write("path,score\n")
+        for filename, score in results:
+            w.write(f"{filename},{score}\n")
+    return 0
+
+
+def entrypoint() -> int:
+    return main(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    raise SystemExit(entrypoint())

@@ -121,7 +121,15 @@ class PharmacoNet:
     # ------------------------------------------------------------------
     def _load_weights(self, weight_path):
         if weight_path is None:
-            logger.warning("no weights given — using random parameters")
+            # try provisioned weights (PMNET_TPU_WEIGHT / cache / download)
+            try:
+                from .utils.download_weight import resolve_weight_path
+
+                weight_path = resolve_weight_path(None, self.verbose)
+            except (FileNotFoundError, RuntimeError):
+                weight_path = None
+        if weight_path is None:
+            logger.warning("no weights available — using random parameters")
             params = self._random_params(self._random_init_seed or 0)
             rng = np.random.default_rng(0)
             distributions = {
