@@ -1,0 +1,208 @@
+"""Concrete docking proxies + registry.
+
+Rebuilds /root/reference/src/pmnet_appl/__init__.py:26-70 (get_docking_proxy
+dispatch), tacogfn_reward/proxy.py:39-105 and sbddreward/proxy.py:35-144.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseProxy, Cache
+from .data import batch_graphs, smi2graph
+from .sbddreward import SBDDRewardNetwork, convert_sbddreward_checkpoint
+from .tacogfn import TacoAffinityHead, convert_tacogfn_checkpoint, graph_batch_to_arrays
+
+
+def _load_torch_state(ckpt_path: str | Path, key: str | None = None) -> dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if key is not None and isinstance(ckpt, dict) and key in ckpt:
+        ckpt = ckpt[key]
+    return {k: v.numpy() for k, v in ckpt.items()}
+
+
+class TacoGFN_Proxy(BaseProxy):
+    """Cache = (pocket vector [256], hotspot features [K, 256])."""
+
+    cache_gdrive_link = {
+        ("QVina-ZINCDock15M", "train"): "1VibvAjhir5oXx5cmzfE0F2UVTSDsGH3v",
+        ("QVina-ZINCDock15M", "test"): "1F05JjkJuc6FwU4h8MLUEan34ovewGPLz",
+        ("QVina-CrossDocked2020", "train"): "1-5he-ItdtcZvlGqyI_rVU0XIk0XGzFC-",
+        ("QVina-CrossDocked2020", "test"): "1Ps3-Mj2GHH_FLtnjAD1riYiRyK01C_T8",
+    }
+    model_gdrive_link = {
+        "QVina-ZINCDock15M": "1lrH79-6YI2CfEP5sWIWzgboZsONXWkIZ",
+        "QVina-CrossDocked2020": "1Kjn4xNc8458Ibf-ckWjtuUotuhGFLiHK",
+    }
+
+    def _setup_model(self):
+        self.model = TacoAffinityHead()
+        self.params = None
+
+    def _load_checkpoint(self, ckpt_path):
+        state = _load_torch_state(ckpt_path, key="model")
+        self.params = jax.tree.map(jnp.asarray, convert_tacogfn_checkpoint(state))
+
+    def _init_random(self, seed: int = 0):
+        graphs = [smi2graph("CCO")]
+        batch = graph_batch_to_arrays(batch_graphs(graphs, pad_multiple=8))
+        features = [jnp.zeros((1, d, d, d, 96)) for d in (4, 8, 16, 32, 64)]
+        hotspots = jnp.zeros((2, 192))
+        self.params = self.model.init(jax.random.PRNGKey(seed), features, hotspots, batch)
+
+    def _get_cache(self, multi_scale_features, hotspot_infos) -> Cache:
+        if hotspot_infos:
+            hotspot_features = jnp.asarray(
+                np.stack([info["hotspot_feature"] for info in hotspot_infos])
+            )
+        else:
+            hotspot_features = jnp.zeros((0, 192))
+        features = [jnp.asarray(f) for f in multi_scale_features]
+        pocket, token = self.model.apply(
+            self.params, features, hotspot_features, method="ready_to_calculate"
+        )
+        return (np.asarray(pocket), np.asarray(token))
+
+    def _scoring_list(self, cache: Cache, smiles_list: list[str]) -> np.ndarray:
+        pocket, token = cache
+        graphs = [smi2graph(smi) for smi in smiles_list]
+        batch = batch_graphs(graphs)
+        arrays = graph_batch_to_arrays(batch, categorical=True)
+        out = self._apply_affinity(
+            jnp.asarray(pocket), jnp.asarray(token), arrays[:7], batch.num_graphs
+        )
+        return np.asarray(out)[: len(smiles_list)]
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_graphs"))
+    def _apply_affinity(self, pocket, token, arrays7, num_graphs):
+        return self.model.apply(
+            self.params, pocket, token, (*arrays7, num_graphs), method="calculate_affinity"
+        )
+
+    @classmethod
+    def load(cls, docking: str, train_dataset: str, db, device=None):
+        assert docking in ("QVina", "QuickVina")
+        assert train_dataset in ("ZINCDock15M", "CrossDocked2020")
+        return super().load("QVina", train_dataset, db, device)
+
+
+class SBDDReward_Proxy(BaseProxy):
+    """Cache = (hotspot X [K,128], positions [K,3], pocket Z [128], mu, std)."""
+
+    cache_gdrive_link = {
+        ("UniDock_Vina-ZINC", "train"): "",
+        ("UniDock_Vina-ZINC", "test"): "",
+    }
+    model_gdrive_link = {"UniDock_Vina-ZINC": ""}
+
+    def _setup_model(self):
+        self.model = SBDDRewardNetwork()
+        self.params = None
+
+    def _load_checkpoint(self, ckpt_path):
+        state = _load_torch_state(ckpt_path)
+        self.params = jax.tree.map(jnp.asarray, convert_sbddreward_checkpoint(state))
+
+    def _init_random(self, seed: int = 0):
+        graphs = [smi2graph("CCO")]
+        batch = graph_batch_to_arrays(batch_graphs(graphs, pad_multiple=8), categorical=False)
+        features = [jnp.zeros((1, d, d, d, 96)) for d in (4, 8, 16, 32, 64)]
+        self.params = self.model.init(
+            jax.random.PRNGKey(seed), features, jnp.zeros((2, 192)), jnp.zeros((2, 3)), batch
+        )
+
+    def _get_cache(self, multi_scale_features, hotspot_infos) -> Cache:
+        if hotspot_infos:
+            hotspot_features = jnp.asarray(
+                np.stack([info["hotspot_feature"] for info in hotspot_infos])
+            )
+            hotspot_positions = jnp.asarray(
+                np.array([info["hotspot_position"] for info in hotspot_infos], dtype=np.float32)
+            )
+        else:
+            hotspot_features = jnp.zeros((0, 192))
+            hotspot_positions = jnp.zeros((0, 3))
+        features = [jnp.asarray(f) for f in multi_scale_features]
+        x, pos, z, mu, std = self.model.apply(
+            self.params, features, hotspot_features, hotspot_positions, method="get_cache"
+        )
+        return (np.asarray(x), np.asarray(pos), np.asarray(z), float(mu), float(std))
+
+    def _scoring_list(self, cache: Cache, smiles_list: list[str], return_sigma: bool = False) -> np.ndarray:
+        # invalid-SMILES masking returns 0.0 (sbddreward/proxy.py:54-72)
+        graphs, flags = [], []
+        for smi in smiles_list:
+            try:
+                graphs.append(smi2graph(smi))
+                flags.append(True)
+            except Exception:
+                flags.append(False)
+        if not any(flags):
+            return np.zeros(len(smiles_list), dtype=np.float32)
+        batch = batch_graphs(graphs)
+        arrays = graph_batch_to_arrays(batch, categorical=False)
+        max_atoms = int(((batch.num_atoms.max() + 7) // 8) * 8)
+        x, pos, z = jnp.asarray(cache[0]), jnp.asarray(cache[1]), jnp.asarray(cache[2])
+        mu, std = float(cache[3]), float(cache[4])
+        dev_cache = (x, pos, z, mu, std)
+        scores = np.asarray(
+            self._apply_scoring(dev_cache, arrays[:7], batch.num_graphs, return_sigma, max_atoms)
+        )[: len(graphs)]
+        if all(flags):
+            return scores
+        result = np.zeros(len(smiles_list), dtype=np.float32)
+        result[np.asarray(flags)] = scores
+        return result
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "num_graphs", "return_sigma", "max_atoms")
+    )
+    def _apply_scoring(self, cache, arrays7, num_graphs, return_sigma, max_atoms):
+        return self.model.apply(
+            self.params, cache, (*arrays7, num_graphs), return_sigma, max_atoms,
+            method="scoring",
+        )
+
+    def scoring(self, target, smiles, return_sigma: bool = False):
+        return self._scoring_list(self._cache[target], [smiles], return_sigma)
+
+    def scoring_list(self, target, smiles_list, return_sigma: bool = False):
+        return self._scoring_list(self._cache[target], smiles_list, return_sigma)
+
+    def get_statistic(self, target: str) -> tuple[float, float]:
+        cache = self._cache[target]
+        return cache[-2], cache[-1]
+
+    @classmethod
+    def load(cls, docking: str, train_dataset: str, db, device=None):
+        assert docking in ("UniDock_Vina",)
+        assert train_dataset in ("ZINC",)
+        return super().load(docking, train_dataset, db, device)
+
+
+def get_docking_proxy(
+    model: str,
+    docking: str,
+    train_dataset: str,
+    db: str | Path | None,
+    device: str | None = None,
+) -> BaseProxy:
+    """Proxy registry (pmnet_appl/__init__.py:26-70).
+
+    model: 'TacoGFN_Reward' | 'SBDDReward'
+    docking: 'QVina' | 'UniDock_Vina'
+    train_dataset: 'ZINCDock15M' | 'CrossDocked2020' | 'ZINC'
+    db: 'train' | 'test' | 'all' | custom cache path | None
+    """
+    if model == "TacoGFN_Reward":
+        return TacoGFN_Proxy.load(docking, train_dataset, db, device)
+    if model == "SBDDReward":
+        return SBDDReward_Proxy.load(docking, train_dataset, db, device)
+    raise ValueError(f"unknown proxy model: {model}")

@@ -1,0 +1,339 @@
+"""SBDDReward docking proxy (flax): pharmacophore encoder + ComplexFormer.
+
+Rebuilds /root/reference/src/pmnet_appl/sbddreward/{proxy.py,network/}:
+  * PharmacophoreEncoder: hotspot MLP (192->128) + per-scale SiLU+Conv3d(3)
+    mean-pools -> pocket vector (pharmacophore_encoder.py:9-53)
+  * GraphEncoder: dense-featurized GINE (ligand_encoder.py:10-84)
+  * AffinityHead ("ComplexFormer"): ligand-atom x hotspot einsum -> dense
+    complex tensor; hotspot pairwise-distance one-hot (0-30 A, 16 bins)
+    embedding; 3 blocks of triangular multiplicative update + gated triangle
+    attention + pair transition; gated sigma sum + bias; per-pocket learned
+    mu in [-15, 0] and std in [0, 5] (head.py:11-97, block.py, layers/).
+
+All dropout is inference-mode (identity). Channel-last pocket features.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .gnn import GraphEncoder
+
+HIDDEN = 128
+NUM_SCALES = 5
+PDIST_BINS = 16
+PDIST_MAX = 30.0
+
+
+def one_hot_distance(x: jax.Array, bin_min=0.0, bin_max=PDIST_MAX, num_classes=PDIST_BINS) -> jax.Array:
+    """Binned one-hot (one_hot.py:7-27): bin_size=2, clip to bin_max + 1."""
+    bin_size = int((bin_max - bin_min) / (num_classes - 1))
+    x = jnp.clip(x, bin_min, bin_max + bin_size / 2)
+    idx = jnp.floor((x - bin_min) / bin_size).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, num_classes - 1)
+    return jax.nn.one_hot(idx, num_classes)
+
+
+class PharmacophoreEncoder(nn.Module):
+    hidden_dim: int = HIDDEN
+
+    @nn.compact
+    def __call__(self, multi_scale_features, hotspot_features, hotspot_positions):
+        """multi_scale_features: top-down [[1,d,h,w,96] x5]; hotspot_features
+        [K,192]; hotspot_positions [K,3]. Returns (X [K,h], pos [K,3], Z [h])."""
+        x = nn.Dense(self.hidden_dim, name="hotspot_mlp")(jax.nn.silu(hotspot_features))
+        pooled = []
+        for i, feature in enumerate(multi_scale_features):
+            h = nn.Conv(
+                self.hidden_dim, kernel_size=(3, 3, 3), padding="VALID", name=f"pocket_conv_{i}"
+            )(jax.nn.silu(feature))
+            pooled.append(jnp.mean(h, axis=(1, 2, 3))[0])
+        z = jnp.concatenate(pooled, axis=-1)
+        z = nn.Dense(self.hidden_dim, name="pocket_fc1")(jax.nn.silu(z))
+        z = nn.Dense(self.hidden_dim, name="pocket_fc2")(jax.nn.silu(z))
+        return x, hotspot_positions, z
+
+
+class TriangleMultiplicativeUpdate(nn.Module):
+    """Direct triangular update (triangular_multiplicative_update.py:7-34)."""
+
+    hidden_dim: int = HIDDEN
+
+    @nn.compact
+    def __call__(self, z, b, z_mask):
+        # z: [N, A, B, C] complex; b: [B, B, C] protein pair; mask: [N, A]
+        bb = nn.Dense(self.hidden_dim, name="linear_b")(b) * jax.nn.sigmoid(
+            nn.Dense(self.hidden_dim, name="linear_b_g")(b)
+        )
+        z = nn.LayerNorm(epsilon=1e-5, name="layernorm_z")(z)
+        gated = nn.Dense(self.hidden_dim, name="linear_z")(z) * jax.nn.sigmoid(
+            nn.Dense(self.hidden_dim, name="linear_z_g")(z)
+        )
+        gated = gated * z_mask[..., None, None]
+        message = jnp.einsum("bikc,jkc->bijc", gated, bb)
+        out = jax.nn.sigmoid(nn.Dense(z.shape[-1], name="linear_o_g")(z)) * nn.Dense(
+            z.shape[-1], name="linear_o"
+        )(message)
+        return out * z_mask[..., None, None]
+
+
+class TriangleAttention(nn.Module):
+    """Gated MHA over the hotspot axis with mask bias
+    (triangular_attention.py:10-188)."""
+
+    hidden_dim: int = HIDDEN
+    head_dim: int = HIDDEN // 4
+    num_heads: int = 4
+    inf: float = 1e9
+
+    @nn.compact
+    def __call__(self, z, mask):
+        # z: [N, A, B, C]; mask: [N, A] (valid ligand atoms)
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(z)
+        n, a, b, c = x.shape
+        nh, hd = self.num_heads, self.head_dim
+
+        def heads(name):
+            return nn.Dense(nh * hd, use_bias=False, name=name)(x).reshape(n, a, b, nh, hd)
+
+        q = heads("linear_q") / math.sqrt(hd)
+        k = heads("linear_k")
+        v = heads("linear_v")
+        # attention over the last token axis (B) for each (n, a) row
+        attn = jnp.einsum("nabhd,nachd->nahbc", q, k)  # [N, A, H, B, B]
+        # reference mask bias derives from the LIGAND mask broadcast over
+        # rows: (inf * (mask-1))[:, :, None, None, :] with mask [N, A(B?)]
+        # (head.py:92: mask_complex is per-ligand-atom); the key-axis mask is
+        # uniform here because every hotspot is valid
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("nahbc,nachd->nabhd", attn, v)
+        gate = jax.nn.sigmoid(
+            nn.Dense(nh * hd, name="linear_g")(x).reshape(n, a, b, nh, hd)
+        )
+        out = (out * gate).reshape(n, a, b, nh * hd)
+        out = nn.Dense(c, name="linear_o")(out)
+        return out
+
+
+class PairTransition(nn.Module):
+    hidden_dim: int = HIDDEN
+    expand: int = 4
+
+    @nn.compact
+    def __call__(self, z, mask):
+        z = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(z)
+        z = nn.Dense(self.hidden_dim * self.expand, name="linear_1")(z)
+        z = jax.nn.relu(z)
+        z = nn.Dense(self.hidden_dim, name="linear_2")(z)
+        return z * mask[..., None, None]
+
+
+class ComplexFormerBlock(nn.Module):
+    hidden_dim: int = HIDDEN
+
+    @nn.compact
+    def __call__(self, z, zpair, mask):
+        z = z + TriangleMultiplicativeUpdate(self.hidden_dim, name="tri_mul_update")(z, zpair, mask)
+        z = z + TriangleAttention(self.hidden_dim, name="tri_attention")(z, mask)
+        z = PairTransition(self.hidden_dim, name="transition")(z, mask)
+        return z
+
+
+class SBDDAffinityHead(nn.Module):
+    hidden_dim: int = HIDDEN
+    n_blocks: int = 3
+
+    def setup(self):
+        self.interaction_fc = nn.Dense(self.hidden_dim, name="interaction_fc")
+        self.protein_pair_embedding = nn.Dense(self.hidden_dim, name="protein_pair_embedding")
+        self.blocks = [ComplexFormerBlock(self.hidden_dim, name=f"block_{i}") for i in range(self.n_blocks)]
+        self.mu_fc1 = nn.Dense(self.hidden_dim, name="mu_fc1")
+        self.mu_fc2 = nn.Dense(1, name="mu_fc2")
+        self.std_fc1 = nn.Dense(self.hidden_dim, name="std_fc1")
+        self.std_fc2 = nn.Dense(1, name="std_fc2")
+        self.sigma_bias_fc1 = nn.Dense(self.hidden_dim, name="sigma_bias_fc1")
+        self.sigma_bias_fc2 = nn.Dense(1, name="sigma_bias_fc2")
+        self.sigma_fc = nn.Dense(1, name="sigma_fc")
+        self.sigma_gate = nn.Dense(1, name="sigma_gate")
+
+    def cal_mu(self, z_protein):
+        h = jax.nn.leaky_relu(self.mu_fc1(z_protein), negative_slope=0.01)
+        return jax.nn.sigmoid(self.mu_fc2(h)).reshape(()) * -15.0
+
+    def cal_std(self, z_protein):
+        h = jax.nn.leaky_relu(self.std_fc1(z_protein), negative_slope=0.01)
+        return jax.nn.sigmoid(self.std_fc2(h)).reshape(()) * 5.0
+
+    def cal_sigma(self, x_protein, pos_protein, z_protein, x_ligand, z_ligand,
+                  atom_graph, atom_valid, num_graphs, max_atoms: int | None = None):
+        """x_protein [K,h], pos_protein [K,3], z_protein [h], x_ligand [V,h],
+        z_ligand [N,h]. Returns sigma [N]."""
+        # dense complex tensor [N, Amax, K, h] from the flat atom batch
+        interaction = jnp.einsum("ik,jk->ijk", x_ligand, x_protein)  # [V, K, h]
+        interaction = self.interaction_fc(interaction)
+        z_complex, mask = _to_dense_batch(
+            interaction, atom_graph, atom_valid, num_graphs, max_atoms
+        )
+
+        if x_protein.shape[0] > 0:
+            pdist = jnp.linalg.norm(
+                pos_protein[:, None, :] - pos_protein[None, :, :], axis=-1
+            )
+            zpair = self.protein_pair_embedding(one_hot_distance(pdist))  # [K, K, h]
+            z0 = z_complex
+            for block in self.blocks:
+                z_complex = block(z_complex, zpair, mask)
+            z_complex = z0 + z_complex
+
+        z_sigma = self.sigma_fc(z_complex) * jax.nn.sigmoid(self.sigma_gate(z_complex))
+        sigma = (z_sigma[..., 0] * mask[..., None]).sum((1, 2))  # [N]
+        pocket_rep = jnp.broadcast_to(z_protein[None], (z_ligand.shape[0], self.hidden_dim))
+        bias = self.sigma_bias_fc2(
+            jax.nn.leaky_relu(
+                self.sigma_bias_fc1(jnp.concatenate([pocket_rep, z_ligand], -1)),
+                negative_slope=0.01,
+            )
+        )
+        return sigma + bias[:, 0]
+
+
+def _to_dense_batch(x, atom_graph, atom_valid, num_graphs, max_atoms: int | None = None):
+    """Flat [V, ...] -> dense [N, Amax, ...] + mask [N, Amax] (torch-geometric
+    to_dense_batch equivalent). max_atoms bounds the per-graph atom count;
+    out-of-bounds scatter rows are dropped by JAX semantics."""
+    v = x.shape[0]
+    amax = int(max_atoms) if max_atoms is not None else v
+    # position of each atom within its graph
+    order = jnp.cumsum(jax.nn.one_hot(atom_graph, num_graphs + 1, dtype=jnp.int32), axis=0)
+    slot = order[jnp.arange(v), atom_graph] - 1  # [V]
+    xm = jnp.where(atom_valid[(...,) + (None,) * (x.ndim - 1)], x, 0.0)
+    dense = jnp.zeros((num_graphs + 1, amax) + x.shape[1:], dtype=x.dtype)
+    dense = dense.at[atom_graph, slot].set(xm, mode="drop")
+    mask = jnp.zeros((num_graphs + 1, amax), dtype=bool).at[atom_graph, slot].set(
+        atom_valid, mode="drop"
+    )
+    return dense[:-1], mask[:-1]
+
+
+class SBDDRewardNetwork(nn.Module):
+    """pharmacophore encoder + ligand encoder + head (_RewardNetwork)."""
+
+    hidden_dim: int = HIDDEN
+
+    def setup(self):
+        self.pharmacophore_encoder = PharmacophoreEncoder(self.hidden_dim, name="pharmacophore_encoder")
+        self.ligand_encoder = GraphEncoder(
+            hidden_dim=self.hidden_dim, out_dim=self.hidden_dim, num_convs=4,
+            categorical=False, name="ligand_encoder",
+        )
+        self.head = SBDDAffinityHead(self.hidden_dim, name="head")
+
+    def get_cache(self, multi_scale_features, hotspot_features, hotspot_positions):
+        x, pos, z = self.pharmacophore_encoder(
+            multi_scale_features, hotspot_features, hotspot_positions
+        )
+        return x, pos, z, self.head.cal_mu(z), self.head.cal_std(z)
+
+    def scoring(self, cache, batch_arrays, return_sigma: bool = False,
+                max_atoms: int | None = None):
+        x_protein, pos_protein, z_protein, mu, std = cache
+        x_ligand, z_ligand = self.ligand_encoder(batch_arrays)
+        atom_graph, atom_valid, num_graphs = batch_arrays[1], batch_arrays[2], batch_arrays[7]
+        sigma = self.head.cal_sigma(
+            x_protein, pos_protein, z_protein, x_ligand, z_ligand,
+            atom_graph, atom_valid, num_graphs, max_atoms,
+        )
+        if return_sigma:
+            return sigma
+        return sigma * std + mu
+
+    def __call__(self, multi_scale_features, hotspot_features, hotspot_positions, batch_arrays):
+        cache = self.get_cache(multi_scale_features, hotspot_features, hotspot_positions)
+        return self.scoring(cache, batch_arrays)
+
+
+def convert_sbddreward_checkpoint(state: dict[str, np.ndarray]) -> dict:
+    """Map the reference _RewardNetwork state dict to flax params."""
+
+    def dense(prefix, bias=True):
+        out = {"kernel": np.ascontiguousarray(np.asarray(state[f"{prefix}.weight"]).T)}
+        if bias:
+            out["bias"] = np.asarray(state[f"{prefix}.bias"])
+        return out
+
+    def conv3d(prefix):
+        w = np.asarray(state[f"{prefix}.weight"])
+        return {
+            "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0))),
+            "bias": np.asarray(state[f"{prefix}.bias"]),
+        }
+
+    def layernorm(prefix):
+        return {
+            "scale": np.asarray(state[f"{prefix}.weight"]),
+            "bias": np.asarray(state[f"{prefix}.bias"]),
+        }
+
+    penc = {
+        "hotspot_mlp": dense("pharmacophore_encoder.hotspot_mlp.1"),
+        "pocket_fc1": dense("pharmacophore_encoder.pocket_layer.1"),
+        "pocket_fc2": dense("pharmacophore_encoder.pocket_layer.3"),
+    }
+    for i in range(NUM_SCALES):
+        penc[f"pocket_conv_{i}"] = conv3d(f"pharmacophore_encoder.pocket_mlp_list.{i}.1")
+
+    lenc = {
+        "node_layer": dense("ligand_encoder.node_layer"),
+        "edge_layer": dense("ligand_encoder.edge_layer"),
+        "head_dense": dense("ligand_encoder.head.0"),
+        "head_norm": layernorm("ligand_encoder.head.1"),
+        "readout_layer": dense("ligand_encoder.readout_layer"),
+        "readout_gate": dense("ligand_encoder.readout_gate"),
+    }
+    for i in range(4):
+        lenc[f"conv_{i}"] = {"nn_dense": dense(f"ligand_encoder.conv_list.{i}.nn.0")}
+
+    head = {
+        "interaction_fc": dense("head.interaction_mlp.0"),
+        "protein_pair_embedding": dense("head.protein_pair_embedding"),
+        "mu_fc1": dense("head.mlp_mu.0"),
+        "mu_fc2": dense("head.mlp_mu.2"),
+        "std_fc1": dense("head.mlp_std.0"),
+        "std_fc2": dense("head.mlp_std.2"),
+        "sigma_bias_fc1": dense("head.mlp_sigma_bias.0"),
+        "sigma_bias_fc2": dense("head.mlp_sigma_bias.2"),
+        "sigma_fc": dense("head.mlp_sigma"),
+        "sigma_gate": dense("head.gate_sigma.0"),
+    }
+    for i in range(3):
+        p = f"head.blocks.{i}"
+        head[f"block_{i}"] = {
+            "tri_mul_update": {
+                "linear_b": dense(f"{p}.tri_mul_update.linear_b"),
+                "linear_b_g": dense(f"{p}.tri_mul_update.linear_b_g.0"),
+                "layernorm_z": layernorm(f"{p}.tri_mul_update.layernorm_z"),
+                "linear_z": dense(f"{p}.tri_mul_update.linear_z"),
+                "linear_z_g": dense(f"{p}.tri_mul_update.linear_z_g.0"),
+                "linear_o": dense(f"{p}.tri_mul_update.linear_o"),
+                "linear_o_g": dense(f"{p}.tri_mul_update.linear_o_g.0"),
+            },
+            "tri_attention": {
+                "layer_norm": layernorm(f"{p}.tri_attention.layer_norm"),
+                "linear_q": dense(f"{p}.tri_attention.mha.linear_q", bias=False),
+                "linear_k": dense(f"{p}.tri_attention.mha.linear_k", bias=False),
+                "linear_v": dense(f"{p}.tri_attention.mha.linear_v", bias=False),
+                "linear_o": dense(f"{p}.tri_attention.mha.linear_o"),
+                "linear_g": dense(f"{p}.tri_attention.mha.linear_g"),
+            },
+            "transition": {
+                "layer_norm": layernorm(f"{p}.transition.layer_norm"),
+                "linear_1": dense(f"{p}.transition.linear_1"),
+                "linear_2": dense(f"{p}.transition.linear_2"),
+            },
+        }
+    return {"params": {"pharmacophore_encoder": penc, "ligand_encoder": lenc, "head": head}}

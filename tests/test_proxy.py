@@ -1,0 +1,100 @@
+"""Proxy zoo tests: SMILES graphs, GINE encoder, TacoGFN + SBDD heads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pharmaconet_tpu.chem.smiles import parse_smiles
+from pharmaconet_tpu.proxy.data import batch_graphs, smi2graph
+from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy, TacoGFN_Proxy
+from pharmaconet_tpu.proxy.tacogfn import graph_batch_to_arrays
+
+
+def test_smi2graph():
+    g = smi2graph("c1ccccc1O")  # phenol
+    assert g.num_atoms == 7
+    assert len(g.edge_src) == 7
+    # aromatic bonds are class 3
+    assert (g.edge_class == 3).sum() == 6
+    # oxygen class is 2
+    assert (g.atom_class == 2).sum() == 1
+
+
+def test_smiles_charges_and_chirality():
+    g = smi2graph("N[C@@H](C)C(=O)[O-]")
+    feats = g.atom_features
+    # one negatively charged atom
+    assert feats[:, 13].sum() == 1
+    # one clockwise chiral center
+    assert feats[:, 10].sum() == 1
+
+
+def test_batch_graphs_layout():
+    graphs = [smi2graph(s) for s in ["CCO", "c1ccccc1", "CC(=O)O"]]
+    batch = batch_graphs(graphs, pad_multiple=8)
+    assert batch.num_graphs == 3
+    assert batch.atom_valid.sum() == sum(g.num_atoms for g in graphs)
+    # padding atoms map to graph id == num_graphs
+    assert (batch.atom_graph[~batch.atom_valid] == 3).all()
+
+
+@pytest.fixture(scope="module")
+def fake_features():
+    rng = np.random.default_rng(0)
+    features = [
+        jnp.asarray(rng.normal(0, 1, (1, d, d, d, 96)).astype(np.float32))
+        for d in (4, 8, 16, 32, 64)
+    ]
+    hotspot_infos = [
+        {
+            "hotspot_feature": rng.normal(0, 1, 192).astype(np.float32),
+            "hotspot_position": tuple(rng.uniform(-5, 5, 3).tolist()),
+        }
+        for _ in range(5)
+    ]
+    return features, hotspot_infos
+
+
+def test_tacogfn_proxy_random(fake_features):
+    features, hotspot_infos = fake_features
+    proxy = TacoGFN_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+    assert cache[0].shape == (256,)
+    assert cache[1].shape == (5, 256)
+    scores = proxy._scoring_list(cache, ["c1ccccc1", "C1CCCCC1", "CCO"])
+    assert scores.shape == (3,)
+    assert np.isfinite(scores).all()
+    # batch scoring equals one-by-one scoring (padding invariance)
+    single = np.concatenate([proxy._scoring_list(cache, [s]) for s in ["c1ccccc1", "C1CCCCC1", "CCO"]])
+    np.testing.assert_allclose(scores, single, rtol=2e-4, atol=1e-5)
+
+
+def test_sbdd_proxy_random(fake_features):
+    features, hotspot_infos = fake_features
+    proxy = SBDDReward_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+    x, pos, z, mu, std = cache
+    assert x.shape == (5, 128) and pos.shape == (5, 3) and z.shape == (128,)
+    assert -15.0 <= mu <= 0.0 and 0.0 <= std <= 5.0
+    scores = proxy._scoring_list(cache, ["c1ccccc1", "C1CCCCC1"])
+    assert scores.shape == (2,)
+    assert np.isfinite(scores).all()
+    # invalid-SMILES masking (sbddreward/proxy.py:54-72)
+    scores3 = proxy._scoring_list(cache, ["c1ccccc1", "c11", "C1CCCCC1"])
+    assert scores3[1] == 0.0
+    np.testing.assert_allclose(scores3[[0, 2]], scores, rtol=2e-4, atol=1e-5)
+
+
+def test_sigma_statistics(fake_features):
+    features, hotspot_infos = fake_features
+    proxy = SBDDReward_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+    proxy.put_cache("tgt", cache)
+    mu, std = proxy.get_statistic("tgt")
+    sigma = proxy.scoring("tgt", "CCO", return_sigma=True)
+    score = proxy.scoring("tgt", "CCO")
+    np.testing.assert_allclose(score, sigma * std + mu, rtol=1e-5)
