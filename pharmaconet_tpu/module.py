@@ -354,16 +354,19 @@ class PharmacoNet:
             jnp.asarray(data.center),
             with_segmentation=True,
         )
-        density = np.asarray(out["density_maps"])
         hotspot_idx = np.asarray(out["hotspot_index"])
         hotspot_valid = np.asarray(out["hotspot_valid"])
         rel_scores = np.asarray(out["rel_scores"])
+        # transfer only the valid hotspot maps (device-side gather first)
+        valid_slots = np.nonzero(hotspot_valid)[0]
+        if len(valid_slots):
+            density_valid = np.asarray(out["density_maps"][jnp.asarray(valid_slots)])
+        else:
+            density_valid = np.zeros((0,) + tuple(out["density_maps"].shape[1:]), np.float32)
 
         hotspot_infos = []
-        for slot in range(len(hotspot_idx)):
-            if not hotspot_valid[slot]:
-                continue
-            dmap = density[slot]
+        for k, slot in enumerate(valid_slots):
+            dmap = density_valid[k]
             if np.all(dmap < 1e-6):
                 continue
             token_i = int(hotspot_idx[slot])

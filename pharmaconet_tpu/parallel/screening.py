@@ -24,6 +24,8 @@ from ..scoring.batch_screen import (
     ScreenBatch,
     _dfs_scores,
     score_blocks_device,
+    segment_boundaries,
+    unique_distance_table,
 )
 from .mesh import DATA_AXIS, data_mesh
 
@@ -118,6 +120,27 @@ class ShardedScreener(BatchScreener):
         def stack(field):
             return jnp.asarray(np.stack([getattr(b, field) for b in padded]))
 
+        block_ends = np.stack(
+            [segment_boundaries(b.sub_block, nb)[0] for b in padded]
+        )
+        pair_bounds = [segment_boundaries(b.block_pair, np_) for b in padded]
+        pair_ends = np.stack([pb[0] for pb in pair_bounds])
+        pair_has = np.stack([pb[2] for pb in pair_bounds])
+
+        # unique distance tables, padded to a common size across shards
+        tables_uvs = [unique_distance_table(b) for b in padded]
+        nu = max(1, max(len(u) for u, _, _ in tables_uvs))
+        pair_u = np.zeros((n_dev, nu), np.int32)
+        pair_v = np.zeros((n_dev, nu), np.int32)
+        sub_slot = np.stack([s for _, _, s in tables_uvs])
+        for i, (u, v, _) in enumerate(tables_uvs):
+            pair_u[i, : len(u)] = u
+            pair_v[i, : len(v)] = v
+        inv = np.stack([(1.0 / b.sub_std).astype(np.float32) for b in padded])
+        winv = np.stack(
+            [(b.sub_w / b.sub_std).astype(np.float32) for b in padded]
+        )
+
         m = self.packed_model
         model_args = (
             jnp.asarray(m.cluster_center),
@@ -125,34 +148,28 @@ class ShardedScreener(BatchScreener):
         )
 
         @jax.jit
-        def sharded_score(node_pos, sub_mu, sub_std, sub_w, sub_d_idx, sub_block,
-                          block_mn, block_pair, block_cross, pair_threshold,
-                          pair_meta, lig_center, lig_size, mc_center, mc_size):
-            def per_shard(node_pos, sub_mu, sub_std, sub_w, sub_d_idx, sub_block,
-                          block_mn, block_pair, block_cross, pair_threshold,
-                          pair_meta, lig_center, lig_size, mc_center, mc_size):
+        def sharded_score(*args):
+            def per_shard(*shard_args):
+                sharded = [a[0] for a in shard_args[:-2]]
                 return score_blocks_device(
-                    node_pos[0], sub_mu[0], sub_std[0], sub_w[0], sub_d_idx[0],
-                    sub_block[0], block_mn[0], block_pair[0], block_cross[0],
-                    pair_threshold[0], pair_meta[0], lig_center[0], lig_size[0],
-                    mc_center, mc_size,
-                    num_blocks=nb, num_pairs=np_,
+                    *sharded, *shard_args[-2:], num_blocks=nb, num_pairs=np_
                 )[None]
 
             return jax.shard_map(
                 per_shard,
                 mesh=self.mesh,
-                in_specs=(P(DATA_AXIS),) * 13 + (P(), P()),
+                in_specs=(P(DATA_AXIS),) * (len(args) - 2) + (P(), P()),
                 out_specs=P(DATA_AXIS),
-            )(node_pos, sub_mu, sub_std, sub_w, sub_d_idx, sub_block, block_mn,
-              block_pair, block_cross, pair_threshold, pair_meta, lig_center,
-              lig_size, mc_center, mc_size)
+            )(*args)
 
         tables = sharded_score(
-            stack("node_pos"), stack("sub_mu"), stack("sub_std"), stack("sub_w"),
-            stack("sub_d_idx"), stack("sub_block"), stack("block_mn"),
-            stack("block_pair"), stack("block_is_cross"), stack("pair_threshold"),
-            stack("pair_meta"), stack("lig_cluster_center"), stack("lig_cluster_size"),
+            stack("node_pos"), stack("sub_mu"), jnp.asarray(inv), jnp.asarray(winv),
+            jnp.asarray(pair_u), jnp.asarray(pair_v), jnp.asarray(sub_slot),
+            stack("sub_block"), stack("block_mn"),
+            stack("block_pair"), stack("block_is_cross"), jnp.asarray(block_ends),
+            stack("pair_threshold"), stack("pair_meta"), jnp.asarray(pair_ends),
+            jnp.asarray(pair_has),
+            stack("lig_cluster_center"), stack("lig_cluster_size"),
             *model_args,
         )
         tables = np.asarray(tables)  # [n_dev, NP, C]

@@ -73,6 +73,21 @@ class PackedModel:
     # per (cluster, type): matched node indices (precomputed candidate sets)
     cluster_type_nodes: list[list[list[int]]]
 
+    def ct_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """Flattened (cluster, type) -> node-id tables for the native packer."""
+        if not hasattr(self, "_ct_tables"):
+            offsets = [0]
+            nodes: list[int] = []
+            for per_cluster in self.cluster_type_nodes:
+                for per_type in per_cluster:
+                    nodes.extend(per_type)
+                    offsets.append(len(nodes))
+            self._ct_tables = (
+                np.asarray(offsets, dtype=np.int32),
+                np.asarray(nodes, dtype=np.int32),
+            )
+        return self._ct_tables
+
     @classmethod
     def from_model(cls, model, weights: dict[str, float] | None = None) -> "PackedModel":
         w = dict(DEFAULT_WEIGHTS)
@@ -178,6 +193,30 @@ class ScreenBatch:
 
 
 def build_batch(
+    model: PackedModel,
+    ligands: list[PackedLigand],
+    ln: int | None = None,
+    cmax: int | None = None,
+    lmax: int | None = None,
+    native: bool | None = None,
+) -> ScreenBatch:
+    """Flatten a ligand batch into device block arrays.
+
+    Dispatches to the C++ block packer (pharmaconet_tpu/native) when
+    available; the pure-Python path below is the semantic reference and the
+    fallback. native=None means auto.
+    """
+    if native is not False:
+        from ..native import get_block_packer
+
+        if get_block_packer() is not None:
+            return _build_batch_native(model, ligands, ln, cmax, lmax)
+        if native is True:
+            raise RuntimeError("native block packer unavailable")
+    return _build_batch_python(model, ligands, ln, cmax, lmax)
+
+
+def _build_batch_python(
     model: PackedModel,
     ligands: list[PackedLigand],
     ln: int | None = None,
@@ -292,24 +331,8 @@ def build_batch(
                                 emit_block(u, v, a_nodes, b_nodes, pair_id, cross=True)
         pair_slices.append((pair_start, len(pair_threshold)))
 
-    node_pos = np.zeros((len(ligands), ln, cmax, 3), dtype=np.float32)
-    num_conf = np.zeros(len(ligands), dtype=np.int32)
     lmax = lmax or max(len(lig.clusters) for lig in ligands)
-    lig_center = np.zeros((len(ligands), lmax, cmax, 3), dtype=np.float32)
-    lig_size = np.zeros((len(ligands), lmax, cmax), dtype=np.float32)
-    for li, lig in enumerate(ligands):
-        n, c = lig.node_pos.shape[0], lig.num_conformers
-        node_pos[li, :n, :c] = lig.node_pos
-        # repeat last conformer into padding (keeps distances finite)
-        if c < cmax:
-            node_pos[li, :n, c:] = lig.node_pos[:, -1:, :]
-        num_conf[li] = c
-        num_l = len(lig.clusters)
-        lig_center[li, :num_l, :c] = lig.cluster_center
-        lig_size[li, :num_l, :c] = lig.cluster_size
-        if c < cmax:
-            lig_center[li, :num_l, c:] = lig.cluster_center[:, -1:]
-            lig_size[li, :num_l, c:] = lig.cluster_size[:, -1:]
+    node_pos, num_conf, lig_center, lig_size = _ligand_arrays(ligands, ln, cmax, lmax)
 
     return ScreenBatch(
         sub_mu=np.asarray(sub_mu, dtype=np.float32).reshape(-1, BLOCK_P),
@@ -334,22 +357,204 @@ def build_batch(
     )
 
 
+def unique_distance_table(batch: ScreenBatch) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unique (ligand, u, v) rows referenced by sub-blocks.
+
+    Returns (pair_u [NU], pair_v [NU] — global node rows into the flattened
+    [B*Ln] position array — and sub_slot [NS] indices into that table).
+    """
+    ln = batch.ln
+    uniq, inverse = np.unique(batch.sub_d_idx, return_inverse=True)
+    li = uniq // (ln * ln)
+    rem = uniq % (ln * ln)
+    pair_u = (li * ln + rem // ln).astype(np.int32)
+    pair_v = (li * ln + rem % ln).astype(np.int32)
+    return pair_u, pair_v, inverse.astype(np.int32)
+
+
+def segment_boundaries(ids: np.ndarray, num_segments: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ends, starts, has) for sorted segment ids (host, vectorized)."""
+    targets = np.arange(num_segments)
+    counts_right = np.searchsorted(ids, targets, side="right")
+    counts_left = np.searchsorted(ids, targets, side="left")
+    ends = (counts_right - 1).astype(np.int32)
+    starts = counts_left.astype(np.int32)
+    has = counts_right > counts_left
+    return ends, starts, has
+
+
+def _ligand_arrays(ligands, ln, cmax, lmax):
+    node_pos = np.zeros((len(ligands), ln, cmax, 3), dtype=np.float32)
+    num_conf = np.zeros(len(ligands), dtype=np.int32)
+    lig_center = np.zeros((len(ligands), lmax, cmax, 3), dtype=np.float32)
+    lig_size = np.zeros((len(ligands), lmax, cmax), dtype=np.float32)
+    for li, lig in enumerate(ligands):
+        n, c = lig.node_pos.shape[0], lig.num_conformers
+        node_pos[li, :n, :c] = lig.node_pos
+        # repeat last conformer into padding (keeps distances finite)
+        if c < cmax:
+            node_pos[li, :n, c:] = lig.node_pos[:, -1:, :]
+        num_conf[li] = c
+        num_l = len(lig.clusters)
+        lig_center[li, :num_l, :c] = lig.cluster_center
+        lig_size[li, :num_l, :c] = lig.cluster_size
+        if c < cmax:
+            lig_center[li, :num_l, c:] = lig.cluster_center[:, -1:]
+            lig_size[li, :num_l, c:] = lig.cluster_size[:, -1:]
+    return node_pos, num_conf, lig_center, lig_size
+
+
+def _build_batch_native(
+    model: PackedModel,
+    ligands: list[PackedLigand],
+    ln: int | None = None,
+    cmax: int | None = None,
+    lmax: int | None = None,
+) -> ScreenBatch:
+    """C++ block emission; produces arrays identical to the Python path."""
+    from ..native import get_block_packer
+
+    fn = get_block_packer()
+    assert fn is not None
+    ln = ln or max(p.node_pos.shape[0] for p in ligands)
+    cmax = cmax or max(p.num_conformers for p in ligands)
+    lmax = lmax or max(len(p.clusters) for p in ligands)
+    num_ligands = len(ligands)
+
+    # flatten ligand metadata
+    lig_cluster_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
+    node_mask_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
+    active_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
+    cluster_node_offsets = [0]
+    cluster_nodes: list[int] = []
+    node_masks: list[np.ndarray] = []
+    active_list: list[int] = []
+    cand_offsets = [0]
+    cands_flat: list[int] = []
+    candidates_all = []
+    cluster_counts = []
+    model_masks = model.cluster_mask  # [M]
+
+    for li, lig in enumerate(ligands):
+        cluster_counts.append(len(lig.clusters))
+        for nodes in lig.clusters:
+            cluster_nodes.extend(nodes)
+            cluster_node_offsets.append(len(cluster_nodes))
+        node_masks.append(lig.node_mask)
+        # candidates via bitwise mask overlap
+        overlap = (lig.cluster_mask[:, None] & model_masks[None, :]) != 0  # [L, M]
+        cands = [list(np.nonzero(overlap[l])[0]) for l in range(len(lig.clusters))]
+        active = [l for l in range(len(lig.clusters)) if cands[l]][:MAX_MATCH_DEPTH]
+        candidates_all.append((active, cands))
+        active_list.extend(active)
+        for l in range(len(lig.clusters)):
+            cands_flat.extend(cands[l])
+            cand_offsets.append(len(cands_flat))
+        lig_cluster_offsets[li + 1] = len(cluster_node_offsets) - 1
+        node_mask_offsets[li + 1] = node_mask_offsets[li] + len(lig.node_mask)
+        active_offsets[li + 1] = len(active_list)
+
+    ct_offsets, ct_nodes = model.ct_tables()
+    mu = np.ascontiguousarray(model.mu)
+    std = np.ascontiguousarray(model.std)
+    weight = np.ascontiguousarray(model.weight)
+    node_masks_flat = np.concatenate(node_masks).astype(np.int32) if node_masks else np.zeros(0, np.int32)
+
+    cap_ns = max(4096, 2048 * num_ligands)
+    cap_nb = cap_ns
+    cap_np = max(1024, 1024 * num_ligands)
+    while True:
+        sub_mu = np.empty((cap_ns, BLOCK_P), dtype=np.float32)
+        sub_std = np.empty((cap_ns, BLOCK_P), dtype=np.float32)
+        sub_w = np.empty((cap_ns, BLOCK_P), dtype=np.float32)
+        sub_d = np.empty(cap_ns, dtype=np.int32)
+        sub_block = np.empty(cap_ns, dtype=np.int32)
+        block_mn = np.empty(cap_nb, dtype=np.int32)
+        block_pair = np.empty(cap_nb, dtype=np.int32)
+        block_cross = np.empty(cap_nb, dtype=np.int32)
+        pair_threshold = np.empty(cap_np, dtype=np.float32)
+        pair_meta = np.empty((cap_np, 6), dtype=np.int32)
+        pair_slices = np.zeros((num_ligands, 2), dtype=np.int64)
+        counts = np.zeros(3, dtype=np.int64)
+        rc = fn(
+            len(model.cluster_nodes), len(model.weight),
+            ct_offsets, ct_nodes, mu, std, weight,
+            num_ligands, ln,
+            lig_cluster_offsets,
+            np.asarray(cluster_node_offsets, dtype=np.int32),
+            np.asarray(cluster_nodes, dtype=np.int32) if cluster_nodes else np.zeros(0, np.int32),
+            node_mask_offsets, node_masks_flat,
+            active_offsets,
+            np.asarray(active_list, dtype=np.int32) if active_list else np.zeros(0, np.int32),
+            np.asarray(cand_offsets, dtype=np.int32),
+            np.asarray(cands_flat, dtype=np.int32) if cands_flat else np.zeros(0, np.int32),
+            BLOCK_P, cap_ns, cap_nb, cap_np,
+            sub_mu, sub_std, sub_w, sub_d, sub_block,
+            block_mn, block_pair, block_cross,
+            pair_threshold, pair_meta, pair_slices.reshape(-1), counts,
+        )
+        if rc == 0:
+            break
+        cap_ns *= 4
+        cap_nb *= 4
+        cap_np *= 4
+
+    ns, nb, npairs = int(counts[0]), int(counts[1]), int(counts[2])
+    node_pos, num_conf, lig_center, lig_size = _ligand_arrays(ligands, ln, cmax, lmax)
+    return ScreenBatch(
+        sub_mu=sub_mu[:ns], sub_std=sub_std[:ns], sub_w=sub_w[:ns],
+        sub_d_idx=sub_d[:ns], sub_block=sub_block[:ns],
+        block_mn=block_mn[:nb], block_pair=block_pair[:nb],
+        block_is_cross=block_cross[:nb],
+        pair_threshold=pair_threshold[:npairs], pair_meta=pair_meta[:npairs],
+        node_pos=node_pos, num_conformers=num_conf,
+        lig_cluster_center=lig_center, lig_cluster_size=lig_size,
+        ligand_clusters=cluster_counts, candidates=candidates_all,
+        pair_slices=[(int(a), int(b)) for a, b in pair_slices],
+        ln=ln, cmax=cmax,
+    )
+
+
 # ==========================================================================
 # Device kernel
 # ==========================================================================
+def _segmented_sum_sorted(x: jax.Array, flags: jax.Array) -> jax.Array:
+    """Segmented inclusive scan of x [C, N] along the minor axis.
+
+    flags [N] marks segment starts. Associative, O(log N) passes, fully
+    vectorized on the VPU; sums reset at boundaries, so f32 accumulation
+    error stays bounded by the segment length, not the batch length. The
+    caller gathers per-segment totals at segment-end indices.
+    """
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    f = jnp.broadcast_to(flags[None, :], x.shape)
+    scanned, _ = jax.lax.associative_scan(combine, (x, f), axis=1)
+    return scanned
+
+
 @functools.partial(jax.jit, static_argnames=("num_blocks", "num_pairs"))
 def score_blocks_device(
     node_pos: jax.Array,  # [B, Ln, C, 3]
     sub_mu: jax.Array,  # [NS, P]
-    sub_std: jax.Array,
-    sub_w: jax.Array,
-    sub_d_idx: jax.Array,  # [NS]
-    sub_block: jax.Array,  # [NS]
+    sub_inv: jax.Array,  # [NS, P]  (1/std; 1.0 padding)
+    sub_winv: jax.Array,  # [NS, P]  (w/std; 0.0 padding)
+    pair_u: jax.Array,  # [NU] global node row of u per unique (lig, u, v)
+    pair_v: jax.Array,  # [NU]
+    sub_slot: jax.Array,  # [NS] index into the unique-distance table
+    sub_block: jax.Array,  # [NS] (sorted)
     block_mn: jax.Array,  # [NB]
-    block_pair: jax.Array,  # [NB]
+    block_pair: jax.Array,  # [NB] (sorted)
     block_is_cross: jax.Array,  # [NB]
+    block_ends: jax.Array,  # [NB] last sub row per block (host-precomputed)
     pair_threshold: jax.Array,  # [NP]
     pair_meta: jax.Array,  # [NP, 6]
+    pair_ends: jax.Array,  # [NP] last block per pair
+    pair_has: jax.Array,  # [NP] bool: pair has blocks
     lig_cluster_center: jax.Array,  # [B, L, C, 3]
     lig_cluster_size: jax.Array,  # [B, L, C]
     model_cluster_center: jax.Array,  # [M, 3]
@@ -357,33 +562,51 @@ def score_blocks_device(
     num_blocks: int,
     num_pairs: int,
 ) -> jax.Array:
-    """Returns pair score table S [NP, C] with -1 for failed/pruned pairs."""
+    """Returns pair score table S [NP, C] with -1 for failed/pruned pairs.
+
+    Distances are computed once per UNIQUE (ligand, node-u, node-v) pair —
+    sub-blocks for different model-cluster candidates share the same ligand
+    edge — then gathered from a compact [NU, C] table. Gaussian terms use
+    host-precomputed reciprocals (no per-element division).
+    """
     b, ln, c, _ = node_pos.shape
-    # all pairwise node distances per conformer
-    diff = node_pos[:, :, None, :, :] - node_pos[:, None, :, :, :]  # [B,Ln,Ln,C,3]
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [B, Ln, Ln, C]
-    dist_flat = dist.reshape(-1, c)
+    pos_flat = node_pos.reshape(b * ln, c, 3)
+    dvec = pos_flat[pair_u] - pos_flat[pair_v]  # [NU, C, 3]
+    d_table = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1))  # [NU, C]
 
-    d = dist_flat[sub_d_idx]  # [NS, C]
-    x = (d[:, None, :] - sub_mu[:, :, None]) / sub_std[:, :, None]  # [NS, P, C]
+    # LAYOUT: the huge NS axis goes MINOR (TPU lanes); P and C are tiny and
+    # live on the major axes — [P, C, NS] keeps the VPU lanes full.
+    dT = d_table[sub_slot].T  # [C, NS]
+    muT = sub_mu.T  # [P, NS]
+    invT = sub_inv.T
+    winvT = sub_winv.T
+    x = (dT[None] - muT[:, None, :]) * invT[:, None, :]  # [P, C, NS]
     x2 = x * x
-    valid = sub_w[:, :, None] > 0.0
-    gauss = jnp.where(valid, sub_w[:, :, None] / sub_std[:, :, None] * jnp.exp(-0.5 * x2), 0.0)
-    sub_scores = jnp.sum(gauss, axis=1)  # [NS, C]
-    sub_pass = jnp.sum(jnp.where(valid & (x2 < 4.0), 1, 0), axis=1)  # [NS, C]
+    valid = winvT[:, None, :] > 0.0
+    gauss = jnp.where(valid, winvT[:, None, :] * jnp.exp(-0.5 * x2), 0.0)
+    sub_scores = jnp.sum(gauss, axis=0)  # [C, NS]
+    sub_pass = jnp.sum(jnp.where(valid & (x2 < 4.0), 1.0, 0.0), axis=0)  # [C, NS]
 
-    block_scores = jax.ops.segment_sum(sub_scores, sub_block, num_segments=num_blocks)
-    block_pass = jax.ops.segment_sum(sub_pass, sub_block, num_segments=num_blocks)
-    block_scores = block_scores / jnp.maximum(block_mn, 1)[:, None]
-    block_fail = (block_pass < ((block_mn[:, None] + 1) // 2)) & (
-        block_is_cross[:, None] == 1
+    sub_flags = jnp.concatenate(
+        [jnp.ones((1,), bool), sub_block[1:] != sub_block[:-1]]
+    )
+    block_scores = _segmented_sum_sorted(sub_scores, sub_flags)[:, block_ends]  # [C, NB]
+    block_pass = _segmented_sum_sorted(sub_pass, sub_flags)[:, block_ends]
+    block_scores = block_scores / jnp.maximum(block_mn, 1)[None, :]
+    block_fail = (block_pass < ((block_mn[None, :] + 1) // 2).astype(jnp.float32)) & (
+        block_is_cross[None, :] == 1
     )
 
-    pair_scores = jax.ops.segment_sum(block_scores, block_pair, num_segments=num_pairs)
-    pair_fails = jax.ops.segment_sum(
-        block_fail.astype(jnp.int32), block_pair, num_segments=num_pairs
+    block_flags = jnp.concatenate(
+        [jnp.ones((1,), bool), block_pair[1:] != block_pair[:-1]]
     )
-    failed = pair_fails.astype(jnp.float32) > pair_threshold[:, None]
+    ends = jnp.clip(pair_ends, 0)
+    pair_scores = _segmented_sum_sorted(block_scores, block_flags)[:, ends]
+    pair_fails = _segmented_sum_sorted(block_fail.astype(jnp.float32), block_flags)[:, ends]
+    pair_scores = jnp.where(pair_has[None, :], pair_scores, 0.0)
+    pair_fails = jnp.where(pair_has[None, :], pair_fails, 0.0)
+    failed = (pair_fails > pair_threshold[None, :]).T  # [NP, C]
+    pair_scores = pair_scores.T  # [NP, C]
 
     # geometric prune for cross pairs (graph_match.py:267)
     li = pair_meta[:, 0]
@@ -440,6 +663,24 @@ def _dfs_scores(batch: ScreenBatch, table: np.ndarray) -> list[float]:
     return out
 
 
+def _bucket_up(n: int, minimum: int = 1024) -> int:
+    """Round up to the next power-of-two bucket (bounds recompilation)."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def pad_batch_to_buckets(batch: ScreenBatch) -> ScreenBatch:
+    """Pad block arrays to power-of-two buckets so jit shapes repeat."""
+    from ..parallel.screening import _pad_batch
+
+    ns = _bucket_up(len(batch.sub_d_idx) + 1)
+    nb = _bucket_up(len(batch.block_mn) + 1)
+    np_ = _bucket_up(len(batch.pair_threshold) + 1)
+    return _pad_batch(batch, ns, nb, np_, batch.node_pos.shape[0])
+
+
 class BatchScreener:
     """Screens ligand batches against one pharmacophore model."""
 
@@ -457,6 +698,7 @@ class BatchScreener:
         if not live:
             return out
         batch = build_batch(self.packed_model, [p for _, p in live])
+        batch = pad_batch_to_buckets(batch)  # bounded set of jit shapes
         table = np.asarray(self.run_device(batch))
         scores = _dfs_scores(batch, table)
         for (i, _), s in zip(live, scores):
@@ -466,18 +708,30 @@ class BatchScreener:
     def device_args(self, batch: ScreenBatch) -> tuple:
         """Transfer batch arrays to device once (reusable across calls)."""
         m = self.packed_model
+        block_ends, _, _ = segment_boundaries(batch.sub_block, len(batch.block_mn))
+        pair_ends, _, pair_has = segment_boundaries(
+            batch.block_pair, len(batch.pair_threshold)
+        )
+        pair_u, pair_v, sub_slot = unique_distance_table(batch)
+        inv = (1.0 / batch.sub_std).astype(np.float32)
+        winv = (batch.sub_w * inv).astype(np.float32)
         return (
             jnp.asarray(batch.node_pos),
             jnp.asarray(batch.sub_mu),
-            jnp.asarray(batch.sub_std),
-            jnp.asarray(batch.sub_w),
-            jnp.asarray(batch.sub_d_idx),
+            jnp.asarray(inv),
+            jnp.asarray(winv),
+            jnp.asarray(pair_u),
+            jnp.asarray(pair_v),
+            jnp.asarray(sub_slot),
             jnp.asarray(batch.sub_block),
             jnp.asarray(batch.block_mn),
             jnp.asarray(batch.block_pair),
             jnp.asarray(batch.block_is_cross),
+            jnp.asarray(block_ends),
             jnp.asarray(batch.pair_threshold),
             jnp.asarray(batch.pair_meta),
+            jnp.asarray(pair_ends),
+            jnp.asarray(pair_has),
             jnp.asarray(batch.lig_cluster_center),
             jnp.asarray(batch.lig_cluster_size),
             jnp.asarray(m.cluster_center),

@@ -97,3 +97,35 @@ def test_batch_shifted_ligand(rich_model):
     host = GraphMatcher(rich_model, lig).run()
     batch = BatchScreener(rich_model).score_ligands([lig])[0]
     assert batch == pytest.approx(host, abs=1e-6)
+
+
+def test_native_packer_matches_python(rich_model, test_ligands):
+    """The C++ block packer must produce byte-identical arrays."""
+    import numpy as np
+
+    from pharmaconet_tpu.native import get_block_packer
+    from pharmaconet_tpu.scoring.batch_screen import (
+        PackedLigand,
+        _build_batch_native,
+        _build_batch_python,
+        PackedModel,
+    )
+
+    if get_block_packer() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    packed_model = PackedModel.from_model(rich_model)
+    packed = [PackedLigand.from_ligand(lig) for lig in test_ligands]
+    py = _build_batch_python(packed_model, packed)
+    cc = _build_batch_native(packed_model, packed)
+    for field in ["sub_mu", "sub_std", "sub_w", "sub_d_idx", "sub_block",
+                  "block_mn", "block_pair", "block_is_cross", "pair_meta",
+                  "node_pos", "lig_cluster_center", "lig_cluster_size"]:
+        np.testing.assert_array_equal(
+            getattr(py, field), getattr(cc, field), err_msg=field
+        )
+    # inf thresholds compare equal elementwise
+    np.testing.assert_array_equal(py.pair_threshold, cc.pair_threshold)
+    assert py.pair_slices == cc.pair_slices
+    assert [tuple(a) for a, _ in py.candidates] == [tuple(a) for a, _ in cc.candidates]
