@@ -34,6 +34,41 @@ from .dataset import PocketLigandDataset, collate_identity
 logger = logging.getLogger("pharmaconet_tpu.trainer")
 
 
+class _Prefetcher:
+    """Background-thread batch preparation (the reference uses DataLoader
+    worker processes, trainer.py:145-160; the frozen-trunk extraction here
+    dispatches to the device asynchronously, so one thread suffices to
+    overlap host parsing with device compute)."""
+
+    def __init__(self, dataset, batch_size: int):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def epoch(self):
+        import queue
+        import threading
+
+        order = list(range(len(self.dataset)))
+        random.shuffle(order)
+        starts = list(range(0, len(order) - self.batch_size + 1, self.batch_size))
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def worker():
+            for start in starts:
+                items = [self.dataset[i] for i in order[start : start + self.batch_size]]
+                q.put(collate_identity(items))
+            q.put(None)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch
+        thread.join()
+
+
 class Trainer:
     def __init__(self, config: Config, pmnet=None):
         self.config = config
@@ -119,20 +154,19 @@ class Trainer:
         self._loss_fn = loss_fn
 
     # ------------------------------------------------------------------
-    def fit(self):
+    def fit(self, resume_from: str | Path | None = None):
         cfg = self.config.train
         it, epoch = 1, 0
+        if resume_from is not None:
+            it, epoch = self.restore_state(resume_from)
+            logger.info(f"resumed from {resume_from} at iteration {it}")
         best_loss = float("inf")
+        prefetcher = _Prefetcher(self.train_dataset, cfg.batch_size)
         while it <= cfg.max_iterations:
-            order = list(range(len(self.train_dataset)))
-            random.shuffle(order)
-            for start in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+            for items in prefetcher.epoch():
                 if it > cfg.max_iterations:
                     break
                 tick = time.time()
-                items = collate_identity(
-                    [self.train_dataset[i] for i in order[start : start + cfg.batch_size]]
-                )
                 args = [item.loss_args() for item in items]
                 self.params, self.opt_state, loss = self._train_step(
                     self.params, self.opt_state, args
@@ -147,6 +181,7 @@ class Trainer:
                     self.log(info, it, epoch, "train")
                 if it % cfg.save_every == 0:
                     self.save_checkpoint(f"epoch-{epoch}-it-{it}.npz")
+                    self.save_state("resume.ckpt", it, epoch)
                 if it % cfg.val_every == 0:
                     val_info = self.evaluate()
                     self.log(val_info, it, epoch, "valid")
@@ -186,3 +221,35 @@ class Trainer:
         save_npz_checkpoint(
             self.save_dir / filename, jax.tree.map(np.asarray, self.params), {}
         )
+
+    # ------------------------------------------------------------------
+    # Full-state checkpointing (params + optimizer + progress). The
+    # reference saves model weights only and cannot resume
+    # (developer/src/trainer.py:177-182, SURVEY.md §5); this build can.
+    # ------------------------------------------------------------------
+    def save_state(self, filename: str, it: int, epoch: int) -> None:
+        import pickle
+
+        state = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, self.opt_state
+            ),
+            "iteration": it,
+            "epoch": epoch,
+        }
+        with open(self.save_dir / filename, "wb") as w:
+            pickle.dump(state, w)
+
+    def restore_state(self, path) -> tuple[int, int]:
+        """Resume from a full-state checkpoint; returns (iteration, epoch)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            state["opt_state"],
+        )
+        return state["iteration"], state["epoch"]
