@@ -192,8 +192,7 @@ def main():
 
     from pharmaconet_tpu.scoring.batch_screen import score_blocks_device
 
-    args = screener.device_args(batch)
-    nb, npairs = len(batch.block_mn), len(batch.pair_threshold)
+    args, (d1, d2) = screener.device_args(batch)
 
     def make_unrolled(k):
         @jax.jit
@@ -201,7 +200,7 @@ def main():
             total = jnp.float32(0)
             for i in range(k):
                 perturbed = (args_tuple[0] + jnp.float32(i) * 1e-6,) + args_tuple[1:]
-                table = score_blocks_device(*perturbed, num_blocks=nb, num_pairs=npairs)
+                table = score_blocks_device(*perturbed, depth1=d1, depth2=d2)
                 total = total + table.sum()
             return total
         return f

@@ -518,118 +518,121 @@ def _build_batch_native(
 # ==========================================================================
 # Device kernel
 # ==========================================================================
-def _segmented_sum_sorted(x: jax.Array, flags: jax.Array) -> jax.Array:
-    """Segmented inclusive scan of x [C, N] along the minor axis.
+def _bounded_segmented_scan(x: jax.Array, flags: jax.Array, depth: int) -> jax.Array:
+    """Segmented inclusive scan of x [C, N] along the minor axis, for
+    segments of length <= 2^depth (Hillis-Steele with boundary flags).
 
-    flags [N] marks segment starts. Associative, O(log N) passes, fully
-    vectorized on the VPU; sums reset at boundaries, so f32 accumulation
-    error stays bounded by the segment length, not the batch length. The
-    caller gathers per-segment totals at segment-end indices.
+    The batch's segments (sub-rows per block, sub-rows per pair) are a few
+    elements long, so 2-4 shift-add passes replace a full log2(N)-deep
+    associative scan — each pass is pure lane-aligned elementwise work.
     """
+    c, n = x.shape
+    val = x
+    seen = jnp.broadcast_to(flags[None, :], (c, n))
+    shift = 1
+    for _ in range(depth):
+        val_s = jnp.pad(val, ((0, 0), (shift, 0)))[:, :n]
+        seen_s = jnp.pad(seen, ((0, 0), (shift, 0)), constant_values=True)[:, :n]
+        val = val + jnp.where(seen, 0.0, val_s)
+        seen = seen | seen_s
+        shift *= 2
+    return val
 
-    def combine(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va + vb), fa | fb
 
-    f = jnp.broadcast_to(flags[None, :], x.shape)
-    scanned, _ = jax.lax.associative_scan(combine, (x, f), axis=1)
-    return scanned
-
-
-@functools.partial(jax.jit, static_argnames=("num_blocks", "num_pairs"))
+@functools.partial(jax.jit, static_argnames=("depth1", "depth2"))
 def score_blocks_device(
     node_pos: jax.Array,  # [B, Ln, C, 3]
-    sub_mu: jax.Array,  # [NS, P]
-    sub_inv: jax.Array,  # [NS, P]  (1/std; 1.0 padding)
-    sub_winv: jax.Array,  # [NS, P]  (w/std; 0.0 padding)
+    sub_mu: jax.Array,  # [P, NS] (host-pretransposed, lane-major)
+    sub_inv: jax.Array,  # [P, NS]  (1/std; 1.0 padding)
+    sub_winv: jax.Array,  # [P, NS]  (w/std; 0.0 padding)
     pair_u: jax.Array,  # [NU] global node row of u per unique (lig, u, v)
     pair_v: jax.Array,  # [NU]
     sub_slot: jax.Array,  # [NS] index into the unique-distance table
-    sub_block: jax.Array,  # [NS] (sorted)
-    block_mn: jax.Array,  # [NB]
-    block_pair: jax.Array,  # [NB] (sorted)
-    block_is_cross: jax.Array,  # [NB]
-    block_ends: jax.Array,  # [NB] last sub row per block (host-precomputed)
-    pair_threshold: jax.Array,  # [NP]
-    pair_meta: jax.Array,  # [NP, 6]
-    pair_ends: jax.Array,  # [NP] last block per pair
-    pair_has: jax.Array,  # [NP] bool: pair has blocks
-    lig_cluster_center: jax.Array,  # [B, L, C, 3]
-    lig_cluster_size: jax.Array,  # [B, L, C]
-    model_cluster_center: jax.Array,  # [M, 3]
-    model_cluster_size: jax.Array,  # [M]
-    num_blocks: int,
-    num_pairs: int,
+    flags_block: jax.Array,  # [NS] bool — first sub row of each block
+    flags_pair: jax.Array,  # [NS] bool — first sub row of each pair
+    end_mn_inv: jax.Array,  # [NS] f32 — 1/(M*N) at block-end rows, 0 elsewhere
+    end_mn_half: jax.Array,  # [NS] f32 — (M*N+1)//2 at block ends, 0 elsewhere
+    end_fail_gate: jax.Array,  # [NS] f32 — 1 at block ends of cross pairs
+    thr_ns: jax.Array,  # [NS] pair fail threshold expanded to sub rows
+    self_ns: jax.Array,  # [NS] bool — pair is_self expanded to sub rows
+    depth1: int,
+    depth2: int,
 ) -> jax.Array:
-    """Returns pair score table S [NP, C] with -1 for failed/pruned pairs.
+    """Returns the EXPANDED score array [C, NS]: the final per-pair scores
+    (-1 for failed conformers) sit at each pair's last sub row; the host
+    compacts them with one vectorized numpy gather (TPU gathers at this
+    granularity measured 10-50x the cost of the whole rest of the kernel).
 
-    Distances are computed once per UNIQUE (ligand, node-u, node-v) pair —
-    sub-blocks for different model-cluster candidates share the same ligand
-    edge — then gathered from a compact [NU, C] table. Gaussian terms use
-    host-precomputed reciprocals (no per-element division).
+    All heavy work is lane-major elementwise math over the flat NS axis:
+    Gaussian likelihood terms, then two BOUNDED segmented scans whose
+    running sums land at segment-end rows (sub->block, block->pair — pair
+    sums scan the block-end values in place, everything else contributes
+    zero). The only device gather reads the compact unique-distance table.
+    The geometric prune is applied on the host (static per batch).
     """
     b, ln, c, _ = node_pos.shape
     pos_flat = node_pos.reshape(b * ln, c, 3)
     dvec = pos_flat[pair_u] - pos_flat[pair_v]  # [NU, C, 3]
     d_table = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1))  # [NU, C]
 
-    # LAYOUT: the huge NS axis goes MINOR (TPU lanes); P and C are tiny and
-    # live on the major axes — [P, C, NS] keeps the VPU lanes full.
     dT = d_table[sub_slot].T  # [C, NS]
-    muT = sub_mu.T  # [P, NS]
-    invT = sub_inv.T
-    winvT = sub_winv.T
-    x = (dT[None] - muT[:, None, :]) * invT[:, None, :]  # [P, C, NS]
+    x = (dT[None] - sub_mu[:, None, :]) * sub_inv[:, None, :]  # [P, C, NS]
     x2 = x * x
-    valid = winvT[:, None, :] > 0.0
-    gauss = jnp.where(valid, winvT[:, None, :] * jnp.exp(-0.5 * x2), 0.0)
+    valid = sub_winv[:, None, :] > 0.0
+    gauss = jnp.where(valid, sub_winv[:, None, :] * jnp.exp(-0.5 * x2), 0.0)
     sub_scores = jnp.sum(gauss, axis=0)  # [C, NS]
     sub_pass = jnp.sum(jnp.where(valid & (x2 < 4.0), 1.0, 0.0), axis=0)  # [C, NS]
 
-    sub_flags = jnp.concatenate(
-        [jnp.ones((1,), bool), sub_block[1:] != sub_block[:-1]]
-    )
-    block_scores = _segmented_sum_sorted(sub_scores, sub_flags)[:, block_ends]  # [C, NB]
-    block_pass = _segmented_sum_sorted(sub_pass, sub_flags)[:, block_ends]
-    block_scores = block_scores / jnp.maximum(block_mn, 1)[None, :]
-    block_fail = (block_pass < ((block_mn[None, :] + 1) // 2).astype(jnp.float32)) & (
-        block_is_cross[None, :] == 1
+    # sub -> block: bounded scan; normalized block value lands on end rows
+    scan_s = _bounded_segmented_scan(sub_scores, flags_block, depth1)
+    scan_p = _bounded_segmented_scan(sub_pass, flags_block, depth1)
+    block_score_ns = scan_s * end_mn_inv[None, :]  # 0 off block ends
+    block_fail_ns = jnp.where(
+        (scan_p < end_mn_half[None, :]), end_fail_gate[None, :], 0.0
     )
 
-    block_flags = jnp.concatenate(
-        [jnp.ones((1,), bool), block_pair[1:] != block_pair[:-1]]
-    )
-    ends = jnp.clip(pair_ends, 0)
-    pair_scores = _segmented_sum_sorted(block_scores, block_flags)[:, ends]
-    pair_fails = _segmented_sum_sorted(block_fail.astype(jnp.float32), block_flags)[:, ends]
-    pair_scores = jnp.where(pair_has[None, :], pair_scores, 0.0)
-    pair_fails = jnp.where(pair_has[None, :], pair_fails, 0.0)
-    failed = (pair_fails > pair_threshold[None, :]).T  # [NP, C]
-    pair_scores = pair_scores.T  # [NP, C]
+    # block -> pair: scan the block-end values across the pair's row span
+    pair_score_ns = _bounded_segmented_scan(block_score_ns, flags_pair, depth2)
+    pair_fail_ns = _bounded_segmented_scan(block_fail_ns, flags_pair, depth2)
 
-    # geometric prune for cross pairs (graph_match.py:267)
-    li = pair_meta[:, 0]
-    l1 = pair_meta[:, 1]
-    l2 = pair_meta[:, 2]
-    m1 = pair_meta[:, 3]
-    m2 = pair_meta[:, 4]
-    is_self = pair_meta[:, 5] == 1
-    lc1 = lig_cluster_center[li, l1]  # [NP, C, 3]
-    lc2 = lig_cluster_center[li, l2]
-    lig_dist = jnp.linalg.norm(lc1 - lc2, axis=-1)  # [NP, C]
-    lig_size = lig_cluster_size[li, l1] + lig_cluster_size[li, l2]  # [NP, C]
-    model_dist = jnp.linalg.norm(
-        model_cluster_center[m1] - model_cluster_center[m2], axis=-1
-    )  # [NP]
-    model_size = model_cluster_size[m1] + model_cluster_size[m2]
-    pruned = (
-        jnp.min(jnp.abs(lig_dist - model_dist[:, None]) - lig_size, axis=-1) > model_size
-    )  # [NP] (pair-level)
-    # failed is per-conformer (numba semantics: -1 only on failed conformers)
-    scores = jnp.where(failed & (~is_self[:, None]), -1.0, pair_scores)
-    scores = jnp.where(((~is_self) & pruned)[:, None], -1.0, scores)
-    return scores
+    # fail logic in the expanded domain (host compacts at pair-end rows)
+    failed = pair_fail_ns > thr_ns[None, :]
+    return jnp.where(failed & (~self_ns[None, :]), -1.0, pair_score_ns)
+
+
+def compact_pair_table(batch: ScreenBatch, expanded: np.ndarray) -> np.ndarray:
+    """Gather per-pair scores [NP, C] out of the expanded [C, NS] device
+    output (host-side vectorized numpy; empty pairs score 0)."""
+    np_real = len(batch.pair_threshold)
+    sub_pair = (
+        batch.block_pair[batch.sub_block]
+        if len(batch.sub_block)
+        else np.zeros(0, np.int32)
+    )
+    ends, _, has = segment_boundaries(sub_pair, np_real)
+    table = expanded[:, np.clip(ends, 0, None)].T.copy()  # [NP, C]
+    table[~has] = 0.0
+    return table
+
+
+def host_prune_mask(batch: ScreenBatch, model: PackedModel) -> np.ndarray:
+    """Geometric feasibility prune per pair (graph_match.py:267), computed
+    on the host (static per batch): True where the pair must score -1."""
+    meta = batch.pair_meta
+    if len(meta) == 0:
+        return np.zeros(0, dtype=bool)
+    li, l1, l2 = meta[:, 0], meta[:, 1], meta[:, 2]
+    m1, m2, is_self = meta[:, 3], meta[:, 4], meta[:, 5] == 1
+    lc1 = batch.lig_cluster_center[li, l1]  # [NP, C, 3]
+    lc2 = batch.lig_cluster_center[li, l2]
+    lig_dist = np.linalg.norm(lc1 - lc2, axis=-1)  # [NP, C]
+    lig_size = batch.lig_cluster_size[li, l1] + batch.lig_cluster_size[li, l2]
+    model_dist = np.linalg.norm(
+        model.cluster_center[m1] - model.cluster_center[m2], axis=-1
+    )
+    model_size = model.cluster_size[m1] + model.cluster_size[m2]
+    pruned = np.min(np.abs(lig_dist - model_dist[:, None]) - lig_size, axis=-1) > model_size
+    return pruned & (~is_self)
 
 
 # ==========================================================================
@@ -671,16 +674,6 @@ def _bucket_up(n: int, minimum: int = 1024) -> int:
     return size
 
 
-def pad_batch_to_buckets(batch: ScreenBatch) -> ScreenBatch:
-    """Pad block arrays to power-of-two buckets so jit shapes repeat."""
-    from ..parallel.screening import _pad_batch
-
-    ns = _bucket_up(len(batch.sub_d_idx) + 1)
-    nb = _bucket_up(len(batch.block_mn) + 1)
-    np_ = _bucket_up(len(batch.pair_threshold) + 1)
-    return _pad_batch(batch, ns, nb, np_, batch.node_pos.shape[0])
-
-
 class BatchScreener:
     """Screens ligand batches against one pharmacophore model."""
 
@@ -698,51 +691,116 @@ class BatchScreener:
         if not live:
             return out
         batch = build_batch(self.packed_model, [p for _, p in live])
-        batch = pad_batch_to_buckets(batch)  # bounded set of jit shapes
-        table = np.asarray(self.run_device(batch))
+        expanded = np.asarray(self.run_device(batch))  # [C, NS]
+        table = compact_pair_table(batch, expanded)
+        # geometric prune (host, static per batch; graph_match.py:267)
+        prune = host_prune_mask(batch, self.packed_model)
+        table[: len(prune)][prune] = -1.0
         scores = _dfs_scores(batch, table)
         for (i, _), s in zip(live, scores):
             out[i] = s
         return out
 
-    def device_args(self, batch: ScreenBatch) -> tuple:
-        """Transfer batch arrays to device once (reusable across calls)."""
-        m = self.packed_model
-        block_ends, _, _ = segment_boundaries(batch.sub_block, len(batch.block_mn))
-        pair_ends, _, pair_has = segment_boundaries(
-            batch.block_pair, len(batch.pair_threshold)
-        )
+    def device_args(
+        self,
+        batch: ScreenBatch,
+        ns_pad: int | None = None,
+        np_pad: int | None = None,
+        nu_pad: int | None = None,
+        b_pad: int | None = None,
+        depth1: int | None = None,
+        depth2: int | None = None,
+    ) -> tuple[tuple, tuple[int, int]]:
+        """Host prep + device transfer (reusable across calls).
+
+        Returns (args, (depth1, depth2)) for score_blocks_device. All pads
+        and depths may be fixed explicitly so multi-shard batches share
+        shapes; by default they come from power-of-two buckets of the batch.
+        """
+        ns_real = len(batch.sub_d_idx)
+        np_real = len(batch.pair_threshold)
+        ns = ns_pad or _bucket_up(ns_real, minimum=1024)
+        del np_pad  # pair-level arrays live in the expanded NS domain
+
         pair_u, pair_v, sub_slot = unique_distance_table(batch)
-        inv = (1.0 / batch.sub_std).astype(np.float32)
-        winv = (batch.sub_w * inv).astype(np.float32)
-        return (
-            jnp.asarray(batch.node_pos),
-            jnp.asarray(batch.sub_mu),
-            jnp.asarray(inv),
-            jnp.asarray(winv),
+        if nu_pad is not None:
+            assert nu_pad >= len(pair_u)
+            pair_u = np.pad(pair_u, (0, nu_pad - len(pair_u)))
+            pair_v = np.pad(pair_v, (0, nu_pad - len(pair_v)))
+
+        # lane-major gaussian inputs (device never transposes)
+        muT = np.zeros((BLOCK_P, ns), dtype=np.float32)
+        invT = np.ones((BLOCK_P, ns), dtype=np.float32)
+        winvT = np.zeros((BLOCK_P, ns), dtype=np.float32)
+        muT[:, :ns_real] = batch.sub_mu.T
+        invT[:, :ns_real] = (1.0 / batch.sub_std).T
+        winvT[:, :ns_real] = (batch.sub_w / batch.sub_std).T
+        sub_slot = np.pad(sub_slot, (0, ns - ns_real))
+
+        # segment flags + block-end annotations over the NS axis
+        sub_block = batch.sub_block
+        sub_pair = (
+            batch.block_pair[sub_block] if len(sub_block) else np.zeros(0, np.int32)
+        )
+        flags_block = np.ones(ns, dtype=bool)
+        flags_pair = np.ones(ns, dtype=bool)
+        if ns_real:
+            flags_block[1:ns_real] = sub_block[1:] != sub_block[:-1]
+            flags_pair[1:ns_real] = sub_pair[1:] != sub_pair[:-1]
+
+        nb = len(batch.block_mn)
+        block_ends, _, _ = segment_boundaries(sub_block, nb)  # [NB] sub rows
+        end_mn_inv = np.zeros(ns, dtype=np.float32)
+        end_mn_half = np.zeros(ns, dtype=np.float32)
+        end_fail_gate = np.zeros(ns, dtype=np.float32)
+        end_mn_inv[block_ends] = 1.0 / np.maximum(batch.block_mn, 1)
+        end_mn_half[block_ends] = (batch.block_mn + 1) // 2
+        end_fail_gate[block_ends] = batch.block_is_cross.astype(np.float32)
+
+        # pair threshold / is_self expanded to sub rows (pads: inf / self)
+        thr_ns = np.full(ns, np.inf, dtype=np.float32)
+        self_ns = np.ones(ns, dtype=bool)
+        if ns_real:
+            thr_ns[:ns_real] = batch.pair_threshold[sub_pair]
+            self_ns[:ns_real] = batch.pair_meta[sub_pair, 5] == 1
+
+        # bounded scan depths: longest block (in sub rows) / longest pair span
+        counts_b = np.diff(np.searchsorted(sub_block, np.arange(nb + 1)))
+        max_block = max(1, int(counts_b.max(initial=1)))
+        counts_p = np.diff(np.searchsorted(sub_pair, np.arange(np_real + 1)))
+        max_pair = max(1, int(counts_p.max(initial=1)))
+        d1 = depth1 if depth1 is not None else max(1, int(np.ceil(np.log2(max_block))))
+        d2 = depth2 if depth2 is not None else max(2, int(np.ceil(np.log2(max_pair))))
+
+        node_pos = batch.node_pos
+        if b_pad is not None and b_pad > node_pos.shape[0]:
+            extra = b_pad - node_pos.shape[0]
+            node_pos = np.concatenate(
+                [node_pos, np.zeros((extra, *node_pos.shape[1:]), np.float32)]
+            )
+
+        args = (
+            jnp.asarray(node_pos),
+            jnp.asarray(muT),
+            jnp.asarray(invT),
+            jnp.asarray(winvT),
             jnp.asarray(pair_u),
             jnp.asarray(pair_v),
             jnp.asarray(sub_slot),
-            jnp.asarray(batch.sub_block),
-            jnp.asarray(batch.block_mn),
-            jnp.asarray(batch.block_pair),
-            jnp.asarray(batch.block_is_cross),
-            jnp.asarray(block_ends),
-            jnp.asarray(batch.pair_threshold),
-            jnp.asarray(batch.pair_meta),
-            jnp.asarray(pair_ends),
-            jnp.asarray(pair_has),
-            jnp.asarray(batch.lig_cluster_center),
-            jnp.asarray(batch.lig_cluster_size),
-            jnp.asarray(m.cluster_center),
-            jnp.asarray(m.cluster_size),
+            jnp.asarray(flags_block),
+            jnp.asarray(flags_pair),
+            jnp.asarray(end_mn_inv),
+            jnp.asarray(end_mn_half),
+            jnp.asarray(end_fail_gate),
+            jnp.asarray(thr_ns),
+            jnp.asarray(self_ns),
         )
+        return args, (d1, d2)
 
-    def run_device(self, batch: ScreenBatch, args: tuple | None = None) -> jax.Array:
-        if args is None:
-            args = self.device_args(batch)
-        return score_blocks_device(
-            *args,
-            num_blocks=len(batch.block_mn),
-            num_pairs=len(batch.pair_threshold),
-        )
+    def run_device(self, batch: ScreenBatch, prepared=None) -> jax.Array:
+        if prepared is None:
+            prepared = self.device_args(batch)
+        args, (d1, d2) = prepared
+        return score_blocks_device(*args, depth1=d1, depth2=d2)
+
+
