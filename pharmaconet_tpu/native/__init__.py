@@ -15,42 +15,40 @@ import numpy as np
 
 logger = logging.getLogger("pharmaconet_tpu.native")
 
-_SRC = Path(__file__).parent / "block_packer.cpp"
-_LIB = Path(__file__).parent / "libblockpacker.so"
-_lib_handle = None
-_load_failed = False
+_DIR = Path(__file__).parent
+_state: dict[str, object] = {}
 
 
-def _compile() -> bool:
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB),
-    ]
+def _load(name: str, src: str, lib: str):
+    """Compile (if stale) and load a native library; None on failure."""
+    if name in _state:
+        return _state[name]
+    src_path, lib_path = _DIR / src, _DIR / lib
+    if not lib_path.exists() or lib_path.stat().st_mtime < src_path.stat().st_mtime:
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(src_path), "-o", str(lib_path)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            logger.warning("native build of %s failed: %s", name, e)
+            _state[name] = None
+            return None
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
-        logger.warning("native block packer build failed: %s", e)
-        return False
+        handle = ctypes.CDLL(str(lib_path))
+    except OSError as e:
+        logger.warning("native load of %s failed: %s", name, e)
+        _state[name] = None
+        return None
+    _state[name] = handle
+    return handle
 
 
 def get_block_packer():
     """Returns the ctypes build_blocks symbol, or None if unavailable."""
-    global _lib_handle, _load_failed
-    if _lib_handle is not None:
-        return _lib_handle.build_blocks
-    if _load_failed:
+    lib = _load("block_packer", "block_packer.cpp", "libblockpacker.so")
+    if lib is None:
         return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _compile():
-            _load_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(str(_LIB))
-    except OSError as e:
-        logger.warning("native block packer load failed: %s", e)
-        _load_failed = True
-        return None
+    if hasattr(lib.build_blocks, "_configured"):
+        return lib.build_blocks
 
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -71,5 +69,26 @@ def get_block_packer():
         f32p, i32p,  # pair arrays
         i64p, i64p,  # pair_slices, out_counts
     ]
-    _lib_handle = lib
+    lib.build_blocks._configured = True
     return lib.build_blocks
+
+
+def get_match_dfs():
+    """Returns the ctypes match_dfs symbol, or None if unavailable."""
+    lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so")
+    if lib is None:
+        return None
+    if not hasattr(lib.match_dfs, "_configured"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.match_dfs.restype = None
+        lib.match_dfs.argtypes = [
+            ctypes.c_int32,  # num_ligands
+            f32p, ctypes.c_int64,  # table, cmax
+            i64p, i32p,  # pair_starts, conformers
+            i32p, i32p,  # active_offsets, cand_counts
+            f32p,  # out_scores
+        ]
+        lib.match_dfs._configured = True
+    return lib.match_dfs

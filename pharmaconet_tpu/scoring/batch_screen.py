@@ -639,7 +639,38 @@ def host_prune_mask(batch: ScreenBatch, model: PackedModel) -> np.ndarray:
 # Host DFS + end-to-end screening
 # ==========================================================================
 def _dfs_scores(batch: ScreenBatch, table: np.ndarray) -> list[float]:
-    """Run the assignment tree per ligand from the device table."""
+    """Run the assignment tree per ligand from the device table.
+
+    Dispatches to the C++ DFS (pharmaconet_tpu/native/match_dfs.cpp) when
+    available; the Python tree below is the semantic reference/fallback.
+    """
+    from ..native import get_match_dfs
+
+    fn = get_match_dfs()
+    if fn is not None:
+        num = len(batch.ligand_clusters)
+        pair_starts = np.array([s for s, _ in batch.pair_slices], dtype=np.int64)
+        conformers = batch.num_conformers.astype(np.int32)[:num]
+        active_offsets = [0]
+        cand_counts: list[int] = []
+        for active, cands in batch.candidates:
+            cand_counts.extend(len(cands[l]) for l in active)
+            active_offsets.append(len(cand_counts))
+        out = np.zeros(num, dtype=np.float32)
+        table_c = np.ascontiguousarray(table, dtype=np.float32)
+        fn(
+            num, table_c, table_c.shape[1], pair_starts, conformers,
+            np.asarray(active_offsets, dtype=np.int32),
+            np.asarray(cand_counts, dtype=np.int32)
+            if cand_counts else np.zeros(0, np.int32),
+            out,
+        )
+        return [float(v) for v in out]
+    return _dfs_scores_python(batch, table)
+
+
+def _dfs_scores_python(batch: ScreenBatch, table: np.ndarray) -> list[float]:
+    """Reference Python implementation of the assignment DFS."""
     out = []
     for li in range(len(batch.ligand_clusters)):
         start, end = batch.pair_slices[li]

@@ -129,3 +129,32 @@ def test_native_packer_matches_python(rich_model, test_ligands):
     np.testing.assert_array_equal(py.pair_threshold, cc.pair_threshold)
     assert py.pair_slices == cc.pair_slices
     assert [tuple(a) for a, _ in py.candidates] == [tuple(a) for a, _ in cc.candidates]
+
+
+def test_native_dfs_matches_python(rich_model, test_ligands):
+    """The C++ assignment DFS must reproduce the Python tree exactly."""
+    import numpy as np
+    import pytest
+
+    from pharmaconet_tpu.native import get_match_dfs
+    from pharmaconet_tpu.scoring.batch_screen import (
+        BatchScreener,
+        PackedLigand,
+        _dfs_scores,
+        _dfs_scores_python,
+        build_batch,
+        compact_pair_table,
+        host_prune_mask,
+    )
+
+    if get_match_dfs() is None:
+        pytest.skip("no C++ toolchain")
+    screener = BatchScreener(rich_model)
+    packed = [PackedLigand.from_ligand(lig) for lig in test_ligands]
+    batch = build_batch(screener.packed_model, packed)
+    expanded = np.asarray(screener.run_device(batch))
+    table = compact_pair_table(batch, expanded)
+    table[host_prune_mask(batch, screener.packed_model)] = -1.0
+    native = _dfs_scores(batch, table)
+    python = _dfs_scores_python(batch, table)
+    np.testing.assert_allclose(native, python, rtol=1e-6, atol=1e-7)
