@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 
-TILE_V = 2048  # voxels per program (flat)
+TILE_V = 1024  # voxels per program (flat; 2048 overflows the 16MB VMEM budget)
 ATOM_BLOCK = 512  # atoms per inner-loop step
 LANE = 128
 
