@@ -14,8 +14,8 @@ Methodology:
     parsing/packing happens once per library and is benchmarked separately
   * timed: the device pair-score phase (the reference's numba hot loop,
     match_utils_numba.py:12-151 equivalent) over full ligand batches
-  * correctness: a sample of ligands is cross-checked against the exact
-    host GraphMatcher before timing
+  * correctness of the same kernel against the exact host GraphMatcher is
+    enforced by tests/test_batch_screen.py (real ligands, multi-conformer)
 """
 
 from __future__ import annotations

@@ -213,3 +213,39 @@ def test_acetate_perception():
 def test_sdf_roundtrip_counts():
     mols = parse_sdf(BENZENE_SDF + PYRIDINE_SDF)
     assert len(mols) == 2
+
+
+MOL2_BLOCK = """@<TRIPOS>MOLECULE
+ethanol
+ 3 2 0 0 0
+SMALL
+GASTEIGER
+
+@<TRIPOS>ATOM
+      1 C1          0.0000    0.0000    0.0000 C.3     1  LIG1       -0.0600
+      2 C2          1.5000    0.0000    0.0000 C.3     1  LIG1        0.0300
+      3 O1          2.2000    1.2000    0.0000 O.3     1  LIG1       -0.3800
+@<TRIPOS>BOND
+     1    1    2 1
+     2    2    3 1
+"""
+
+
+def test_mol2_parsing():
+    from pharmaconet_tpu.chem.smallmol import parse_mol2
+
+    mols = parse_mol2(MOL2_BLOCK)
+    assert len(mols) == 1
+    mol = mols[0]
+    assert mol.num_atoms == 3
+    assert len(mol.bonds) == 2
+    assert [a.atomic_num for a in mol.atoms] == [6, 6, 8]
+    assert mol.coords.shape == (3, 3)
+
+
+def test_mol2_aromatic_bonds():
+    from pharmaconet_tpu.chem.smallmol import parse_mol2
+
+    block = MOL2_BLOCK.replace("     1    1    2 1", "     1    1    2 ar")
+    mol = parse_mol2(block)[0]
+    assert mol.bonds[0].aromatic

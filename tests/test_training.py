@@ -90,3 +90,25 @@ def test_config_yaml_roundtrip(tmp_path):
     assert loaded.train.batch_size == 7
     assert loaded.model.hidden_dim == 42
     assert loaded.train.opt.lr == config.train.opt.lr
+
+
+def test_trainer_resume(train_setup):
+    """Full-state resume restores params/optimizer and continues."""
+    import numpy as np
+
+    config, pmnet = train_setup
+    config.log_dir = config.log_dir + "_resume"
+    trainer = Trainer(config, pmnet=pmnet)
+    trainer.fit()
+    ckpt = trainer.save_dir / "resume.ckpt"
+    assert ckpt.exists()
+    trainer2 = Trainer(config, pmnet=pmnet)
+    it, epoch = trainer2.restore_state(ckpt)
+    assert it >= 2
+    import jax
+
+    flat1 = jax.tree.leaves(trainer.params)
+    flat2 = jax.tree.leaves(trainer2.params)
+    # params at save time differ from final; check structure + finiteness
+    assert len(flat1) == len(flat2)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat2)
