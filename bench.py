@@ -215,8 +215,15 @@ def main():
         _ = [float(o) for o in outs]
         return (time.time() - t0) / iters
 
-    t1, t4 = timed(f1), timed(f4)
-    per_batch = max((t4 - t1) / 3, 1e-9)
+    # median of three marginal estimates (relay contention varies; a single
+    # estimate can even go negative when contention hits the unroll-1 run)
+    import statistics
+
+    estimates = []
+    for _ in range(3):
+        t1, t4 = timed(f1), timed(f4)
+        estimates.append(max((t4 - t1) / 3, 1e-9))
+    per_batch = statistics.median(estimates)
     throughput = batch_size / per_batch
     elapsed = per_batch * iters
 
