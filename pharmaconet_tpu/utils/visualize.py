@@ -177,3 +177,29 @@ def visualize_multiple(
 
 
 _ = os  # re-exported path helpers kept minimal
+
+
+def _main() -> int:
+    """Standalone visualization CLI (reference utils/visualize.py __main__)."""
+    import argparse
+
+    from ..pharmacophore.model import PharmacophoreModel
+
+    parser = argparse.ArgumentParser(
+        "visualize", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("model", type=str, help="pharmacophore model path (.pm | .json)")
+    parser.add_argument("-p", "--protein", type=str, help="protein file path")
+    parser.add_argument("-l", "--ligand", type=str, help="reference ligand file path")
+    parser.add_argument("-o", "--out", type=str, required=True, help="output (.pse/.pml)")
+    parser.add_argument("--prefix", type=str, default="", help="object prefix")
+    args = parser.parse_args()
+    written = visualize_single(
+        PharmacophoreModel.load(args.model), args.protein, args.ligand, args.prefix, args.out
+    )
+    print(f"wrote {written}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
