@@ -18,7 +18,6 @@ Torch → flax layout rules:
 from __future__ import annotations
 
 import io
-import tarfile
 from pathlib import Path
 from typing import Any
 
@@ -319,5 +318,3 @@ def load_npz_checkpoint(path: str | Path) -> tuple[dict, dict[str, np.ndarray]]:
         node[parts[-1]] = data[key]
     return params, score_distributions
 
-
-_ = tarfile  # reserved for future direct-tar parsing without torch

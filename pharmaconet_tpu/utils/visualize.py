@@ -12,7 +12,6 @@ type. Works in two modes:
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 PHARMACOPHORE_COLOR = {
@@ -174,9 +173,6 @@ def visualize_multiple(
     save_path: str,
 ) -> str:
     return _write(build_multiple_script(model_dict, protein_path, pdb), save_path)
-
-
-_ = os  # re-exported path helpers kept minimal
 
 
 def _main() -> int:
