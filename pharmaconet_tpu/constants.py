@@ -194,5 +194,5 @@ SIGMA_SQ_PASS: Final[float] = 4.0
 # --------------------------------------------------------------------------
 MAX_TOKENS: Final[int] = 2048
 MAX_HOTSPOTS: Final[int] = 128
-SEGMENTATION_CHUNK: Final[int] = 8
+SEGMENTATION_CHUNK: Final[int] = 16
 MAX_ATOMS: Final[int] = 8192
