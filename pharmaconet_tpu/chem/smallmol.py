@@ -20,7 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .periodic import COVALENT_RADIUS, DEFAULT_VALENCE, HALOGENS, element_to_z
+from .periodic import COVALENT_RADIUS, DEFAULT_VALENCE, element_to_z
 
 
 @dataclass

@@ -17,7 +17,7 @@ tacogfn_reward/data.py:19-25: aromatic -> class 3).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .periodic import element_to_z
 from .smallmol import Atom, Bond, Molecule

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
-from .chem import Protein, load_molecules, load_pdb, residues_to_pdbblock
+from .chem import Protein, load_molecules, load_pdb
 from .chem.pocket import extract_pocket_residues
 from .data.featurizer import (
     get_protein_pointcloud,

@@ -16,7 +16,6 @@ dependency-free Molecule model:
 
 from __future__ import annotations
 
-import itertools
 from pathlib import Path
 from typing import Iterator, Sequence
 
