@@ -20,8 +20,10 @@ def build_parser() -> argparse.ArgumentParser:
     cfg = parser.add_argument_group("config")
     cfg.add_argument("-p", "--pharmacophore_model", type=str, required=True,
                      help="path of pharmacophore model (.pm | .json)")
-    cfg.add_argument("-d", "--library_dir", type=str, required=True,
-                     help="molecular library directory path")
+    cfg.add_argument("-d", "--library_dir", type=str,
+                     help="molecular library directory path (.sdf/.mol2 files)")
+    cfg.add_argument("--library", type=str,
+                     help="prepacked ligand library (.npz from prepack.py)")
     cfg.add_argument("-o", "--out", type=str, required=True, help="result CSV path")
     cfg.add_argument("--batch_size", type=int, default=1024, help="ligands per device batch")
     cfg.add_argument("--cpus", type=int, default=1,
@@ -56,37 +58,50 @@ def main(args) -> int:
         Halogen=args.halogen,
         Hydrophobic=args.hydrophobic,
     )
-    library = Path(args.library_dir)
-    files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
-    print(f"find {len(files)} molecules")
-
     if len(jax.devices()) > 1:
         screener = ShardedScreener(model, weights)
     else:
         screener = BatchScreener(model, weights)
 
-    results: list[tuple[Path, float]] = []
-    batch_files: list[Path] = []
-    batch_ligands: list[Ligand] = []
+    results: list[tuple[str, float]] = []
 
-    def flush():
-        if not batch_ligands:
-            return
-        scores = screener.score_ligands(batch_ligands)
-        results.extend(zip(batch_files, scores))
-        batch_files.clear()
-        batch_ligands.clear()
+    if args.library:
+        # prepacked library: skip parsing/perception entirely
+        from pharmaconet_tpu.scoring.library import load_library
 
-    for path in files:
-        try:
-            batch_ligands.append(Ligand.load_from_file(path))
-            batch_files.append(path)
-        except Exception as e:
-            print(f"skip {path}: {e}", file=sys.stderr)
-            continue
-        if len(batch_ligands) >= args.batch_size:
-            flush()
-    flush()
+        packed, names = load_library(args.library)
+        print(f"loaded {len(packed)} prepacked ligands")
+        for start in range(0, len(packed), args.batch_size):
+            chunk = packed[start : start + args.batch_size]
+            scores = screener.score_packed(chunk)
+            results.extend(zip(names[start : start + args.batch_size], scores))
+    else:
+        assert args.library_dir, "provide -d/--library_dir or --library"
+        library = Path(args.library_dir)
+        files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
+        print(f"find {len(files)} molecules")
+
+        batch_files: list[str] = []
+        batch_ligands: list[Ligand] = []
+
+        def flush():
+            if not batch_ligands:
+                return
+            scores = screener.score_ligands(batch_ligands)
+            results.extend(zip(batch_files, scores))
+            batch_files.clear()
+            batch_ligands.clear()
+
+        for path in files:
+            try:
+                batch_ligands.append(Ligand.load_from_file(path))
+                batch_files.append(str(path))
+            except Exception as e:
+                print(f"skip {path}: {e}", file=sys.stderr)
+                continue
+            if len(batch_ligands) >= args.batch_size:
+                flush()
+        flush()
 
     results.sort(key=lambda x: x[1], reverse=True)
     with open(args.out, "w") as w:

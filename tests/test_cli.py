@@ -75,3 +75,39 @@ def test_rcsb_ligand_detection(tmp_path, protein_pdb):
     for inform in informs:
         assert np.isfinite(inform.center).all()
         assert (tmp_path / f"6OIM_{inform.pdbchain}_{inform.id}.pdb").exists()
+
+
+def test_packed_library_roundtrip_and_screen(pm_model, tmp_path):
+    """Prepack a library, then screen from it; scores must match direct."""
+    from pharmaconet_tpu.cli.prepack import build_parser as prepack_parser
+    from pharmaconet_tpu.cli.prepack import main as prepack_main
+    from pharmaconet_tpu.scoring.library import load_library
+
+    model, model_path = pm_model
+    library = tmp_path / "library"
+    library.mkdir()
+    for i, sdf in enumerate([ETHANOL_SDF, BENZENE_SDF, ACETATE_SDF] * 2):
+        (library / f"mol_{i}.sdf").write_text(sdf)
+
+    packed_path = tmp_path / "lib.npz"
+    args = prepack_parser().parse_args(["-d", str(library), "-o", str(packed_path)])
+    assert prepack_main(args) == 0
+    packed, names = load_library(packed_path)
+    assert len(packed) == 6 and len(names) == 6
+
+    out_direct = tmp_path / "direct.csv"
+    out_packed = tmp_path / "packed.csv"
+    a1 = screening_parser().parse_args(["-p", str(model_path), "-d", str(library), "-o", str(out_direct)])
+    assert screening_main(a1) == 0
+    a2 = screening_parser().parse_args(["-p", str(model_path), "--library", str(packed_path), "-o", str(out_packed)])
+    assert screening_main(a2) == 0
+
+    def scores_by_name(path):
+        rows = [line.rsplit(",", 1) for line in path.read_text().strip().splitlines()[1:]]
+        return {name.rsplit("/", 1)[-1]: float(s) for name, s in rows}
+
+    np.testing.assert_allclose(
+        [scores_by_name(out_packed)[k] for k in sorted(scores_by_name(out_packed))],
+        [scores_by_name(out_direct)[k] for k in sorted(scores_by_name(out_direct))],
+        rtol=1e-6,
+    )
