@@ -93,8 +93,13 @@ class PharmacoNet:
         segmentation_chunk: int = C.SEGMENTATION_CHUNK,
         grid_dim: int = C.GRID_DIM,
         model_kwargs: dict | None = None,
+        matmul_precision: str = "float32",
         _random_init_seed: int | None = None,
     ):
+        """matmul_precision: 'float32' pins full-precision matmuls/convs on
+        TPU (required for the 1e-4 checkpoint-parity budget, SURVEY.md §7
+        hard-part 1); relax to 'tensorfloat32'/'bfloat16' for speed."""
+        self.matmul_precision = matmul_precision
         self.grid_dim = grid_dim
         self.model = build_model(image_size=grid_dim, **(model_kwargs or {}))
         self._random_init_seed = _random_init_seed
@@ -246,6 +251,24 @@ class PharmacoNet:
         token_valid: jax.Array,
         center: jax.Array,
         with_segmentation: bool = True,
+    ) -> dict[str, jax.Array]:
+        # pin matmul/conv precision for the whole traced program: TPU f32
+        # inputs otherwise run with bf16 passes, blowing the 1e-4 budget
+        with jax.default_matmul_precision(self.matmul_precision):
+            return self._device_program_impl(
+                atom_positions, atom_features, atom_valid, tokens, token_valid,
+                center, with_segmentation,
+            )
+
+    def _device_program_impl(
+        self,
+        atom_positions: jax.Array,
+        atom_features: jax.Array,
+        atom_valid: jax.Array,
+        tokens: jax.Array,
+        token_valid: jax.Array,
+        center: jax.Array,
+        with_segmentation: bool,
     ) -> dict[str, jax.Array]:
         # 1. voxelize (dual-radius single pass)
         image, occupancy = voxelize(

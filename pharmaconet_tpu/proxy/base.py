@@ -119,11 +119,14 @@ class BaseProxy:
         ref_ligand_path: str | Path | None = None,
         center=None,
     ) -> Cache:
+        import jax
+
         self.setup_pmnet()
         features, hotspot_infos = self.pmnet.feature_extraction(
             protein_pdb_path, ref_ligand_path, center
         )
-        return self._get_cache(features, hotspot_infos)
+        with jax.default_matmul_precision("float32"):
+            return self._get_cache(features, hotspot_infos)
 
     def get_cache_database(
         self,

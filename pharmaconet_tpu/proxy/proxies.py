@@ -82,9 +82,11 @@ class TacoGFN_Proxy(BaseProxy):
 
     @functools.partial(jax.jit, static_argnames=("self", "num_graphs"))
     def _apply_affinity(self, pocket, token, arrays7, num_graphs):
-        return self.model.apply(
-            self.params, pocket, token, (*arrays7, num_graphs), method="calculate_affinity"
-        )
+        with jax.default_matmul_precision("float32"):
+            return self.model.apply(
+                self.params, pocket, token, (*arrays7, num_graphs),
+                method="calculate_affinity",
+            )
 
     @classmethod
     def load(cls, docking: str, train_dataset: str, db, device=None):
@@ -165,10 +167,11 @@ class SBDDReward_Proxy(BaseProxy):
         jax.jit, static_argnames=("self", "num_graphs", "return_sigma", "max_atoms")
     )
     def _apply_scoring(self, cache, arrays7, num_graphs, return_sigma, max_atoms):
-        return self.model.apply(
-            self.params, cache, (*arrays7, num_graphs), return_sigma, max_atoms,
-            method="scoring",
-        )
+        with jax.default_matmul_precision("float32"):
+            return self.model.apply(
+                self.params, cache, (*arrays7, num_graphs), return_sigma, max_atoms,
+                method="scoring",
+            )
 
     def scoring(self, target, smiles, return_sigma: bool = False):
         return self._scoring_list(self._cache[target], [smiles], return_sigma)
