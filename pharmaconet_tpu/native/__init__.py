@@ -73,6 +73,33 @@ def get_block_packer():
     return lib.build_blocks
 
 
+def get_prep_args():
+    """Returns the ctypes prep_args symbol, or None if unavailable."""
+    lib = _load("prep_args", "prep_args.cpp", "libprepargs.so")
+    if lib is None:
+        return None
+    if not hasattr(lib.prep_args, "_configured"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        boolp = np.ctypeslib.ndpointer(np.bool_, flags="C_CONTIGUOUS")
+        lib.prep_args.restype = ctypes.c_int32
+        lib.prep_args.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # ns_real, ns, nb, np
+            ctypes.c_int32,  # P
+            f32p, f32p, f32p,  # sub_mu, sub_std, sub_w
+            i32p, i32p, i32p, i32p,  # sub_block, block_pair, block_mn, block_cross
+            f32p, i32p,  # pair_threshold, pair_self
+            f32p, f32p, f32p,  # muT, invT, winvT
+            boolp, boolp,  # flags_block, flags_pair
+            f32p, f32p, f32p,  # end_mn_inv, end_mn_half, end_fail_gate
+            f32p, boolp,  # thr_ns, self_ns
+            i64p,  # out_max
+        ]
+        lib.prep_args._configured = True
+    return lib.prep_args
+
+
 def get_match_dfs():
     """Returns the ctypes match_dfs symbol, or None if unavailable."""
     lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so")

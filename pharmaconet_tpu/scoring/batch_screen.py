@@ -373,13 +373,17 @@ def unique_distance_table(batch: ScreenBatch) -> tuple[np.ndarray, np.ndarray, n
 
 
 def segment_boundaries(ids: np.ndarray, num_segments: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(ends, starts, has) for sorted segment ids (host, vectorized)."""
-    targets = np.arange(num_segments)
-    counts_right = np.searchsorted(ids, targets, side="right")
-    counts_left = np.searchsorted(ids, targets, side="left")
-    ends = (counts_right - 1).astype(np.int32)
-    starts = counts_left.astype(np.int32)
-    has = counts_right > counts_left
+    """(ends, starts, has) for sorted segment ids (host, vectorized).
+
+    Single-pass bincount/cumsum (O(N + S)) rather than per-segment
+    searchsorted (O(S log N)): the segment count is comparable to the row
+    count here, so this is the host-bandwidth-optimal form.
+    """
+    counts = np.bincount(ids, minlength=num_segments)[:num_segments]
+    cum = np.cumsum(counts)
+    ends = (cum - 1).astype(np.int32)
+    starts = (cum - counts).astype(np.int32)
+    has = counts > 0
     return ends, starts, has
 
 
@@ -741,16 +745,22 @@ class BatchScreener:
         b_pad: int | None = None,
         depth1: int | None = None,
         depth2: int | None = None,
+        native: bool | None = None,
     ) -> tuple[tuple, tuple[int, int]]:
         """Host prep + device transfer (reusable across calls).
 
         Returns (args, (depth1, depth2)) for score_blocks_device. All pads
         and depths may be fixed explicitly so multi-shard batches share
         shapes; by default they come from power-of-two buckets of the batch.
+
+        Dispatches to the fused C++ prep (native/prep_args.cpp) when
+        available; the numpy path below is the semantic reference and the
+        fallback (native=None means auto).
         """
         ns_real = len(batch.sub_d_idx)
         np_real = len(batch.pair_threshold)
         ns = ns_pad or _bucket_up(ns_real, minimum=1024)
+        nb = len(batch.block_mn)
         del np_pad  # pair-level arrays live in the expanded NS domain
 
         pair_u, pair_v, sub_slot = unique_distance_table(batch)
@@ -758,48 +768,87 @@ class BatchScreener:
             assert nu_pad >= len(pair_u)
             pair_u = np.pad(pair_u, (0, nu_pad - len(pair_u)))
             pair_v = np.pad(pair_v, (0, nu_pad - len(pair_v)))
-
-        # lane-major gaussian inputs (device never transposes)
-        muT = np.zeros((BLOCK_P, ns), dtype=np.float32)
-        invT = np.ones((BLOCK_P, ns), dtype=np.float32)
-        winvT = np.zeros((BLOCK_P, ns), dtype=np.float32)
-        muT[:, :ns_real] = batch.sub_mu.T
-        invT[:, :ns_real] = (1.0 / batch.sub_std).T
-        winvT[:, :ns_real] = (batch.sub_w / batch.sub_std).T
         sub_slot = np.pad(sub_slot, (0, ns - ns_real))
 
-        # segment flags + block-end annotations over the NS axis
-        sub_block = batch.sub_block
-        sub_pair = (
-            batch.block_pair[sub_block] if len(sub_block) else np.zeros(0, np.int32)
-        )
-        flags_block = np.ones(ns, dtype=bool)
-        flags_pair = np.ones(ns, dtype=bool)
-        if ns_real:
-            flags_block[1:ns_real] = sub_block[1:] != sub_block[:-1]
-            flags_pair[1:ns_real] = sub_pair[1:] != sub_pair[:-1]
+        prep = None
+        if native is not False:
+            from ..native import get_prep_args
 
-        nb = len(batch.block_mn)
-        block_ends, _, _ = segment_boundaries(sub_block, nb)  # [NB] sub rows
-        end_mn_inv = np.zeros(ns, dtype=np.float32)
-        end_mn_half = np.zeros(ns, dtype=np.float32)
-        end_fail_gate = np.zeros(ns, dtype=np.float32)
-        end_mn_inv[block_ends] = 1.0 / np.maximum(batch.block_mn, 1)
-        end_mn_half[block_ends] = (batch.block_mn + 1) // 2
-        end_fail_gate[block_ends] = batch.block_is_cross.astype(np.float32)
+            prep = get_prep_args()
+            if prep is None and native is True:
+                raise RuntimeError("native prep_args unavailable")
 
-        # pair threshold / is_self expanded to sub rows (pads: inf / self)
-        thr_ns = np.full(ns, np.inf, dtype=np.float32)
-        self_ns = np.ones(ns, dtype=bool)
-        if ns_real:
-            thr_ns[:ns_real] = batch.pair_threshold[sub_pair]
-            self_ns[:ns_real] = batch.pair_meta[sub_pair, 5] == 1
+        if prep is not None:
+            muT = np.empty((BLOCK_P, ns), dtype=np.float32)
+            invT = np.empty((BLOCK_P, ns), dtype=np.float32)
+            winvT = np.empty((BLOCK_P, ns), dtype=np.float32)
+            flags_block = np.empty(ns, dtype=bool)
+            flags_pair = np.empty(ns, dtype=bool)
+            end_mn_inv = np.empty(ns, dtype=np.float32)
+            end_mn_half = np.empty(ns, dtype=np.float32)
+            end_fail_gate = np.empty(ns, dtype=np.float32)
+            thr_ns = np.empty(ns, dtype=np.float32)
+            self_ns = np.empty(ns, dtype=bool)
+            out_max = np.zeros(2, dtype=np.int64)
+            prep(
+                ns_real, ns, nb, np_real, BLOCK_P,
+                np.ascontiguousarray(batch.sub_mu),
+                np.ascontiguousarray(batch.sub_std),
+                np.ascontiguousarray(batch.sub_w),
+                np.ascontiguousarray(batch.sub_block),
+                np.ascontiguousarray(batch.block_pair),
+                np.ascontiguousarray(batch.block_mn),
+                np.ascontiguousarray(batch.block_is_cross),
+                np.ascontiguousarray(batch.pair_threshold),
+                np.ascontiguousarray(batch.pair_meta[:, 5])
+                if np_real else np.zeros(0, np.int32),
+                muT, invT, winvT, flags_block, flags_pair,
+                end_mn_inv, end_mn_half, end_fail_gate, thr_ns, self_ns,
+                out_max,
+            )
+            max_block = max(1, int(out_max[0]))
+            max_pair = max(1, int(out_max[1]))
+        else:
+            # lane-major gaussian inputs (device never transposes)
+            muT = np.zeros((BLOCK_P, ns), dtype=np.float32)
+            invT = np.ones((BLOCK_P, ns), dtype=np.float32)
+            winvT = np.zeros((BLOCK_P, ns), dtype=np.float32)
+            muT[:, :ns_real] = batch.sub_mu.T
+            invT[:, :ns_real] = (1.0 / batch.sub_std).T
+            winvT[:, :ns_real] = (batch.sub_w / batch.sub_std).T
 
-        # bounded scan depths: longest block (in sub rows) / longest pair span
-        counts_b = np.diff(np.searchsorted(sub_block, np.arange(nb + 1)))
-        max_block = max(1, int(counts_b.max(initial=1)))
-        counts_p = np.diff(np.searchsorted(sub_pair, np.arange(np_real + 1)))
-        max_pair = max(1, int(counts_p.max(initial=1)))
+            # segment flags + block-end annotations over the NS axis
+            sub_block = batch.sub_block
+            sub_pair = (
+                batch.block_pair[sub_block] if len(sub_block) else np.zeros(0, np.int32)
+            )
+            flags_block = np.ones(ns, dtype=bool)
+            flags_pair = np.ones(ns, dtype=bool)
+            if ns_real:
+                flags_block[1:ns_real] = sub_block[1:] != sub_block[:-1]
+                flags_pair[1:ns_real] = sub_pair[1:] != sub_pair[:-1]
+
+            block_ends, _, _ = segment_boundaries(sub_block, nb)  # [NB] sub rows
+            end_mn_inv = np.zeros(ns, dtype=np.float32)
+            end_mn_half = np.zeros(ns, dtype=np.float32)
+            end_fail_gate = np.zeros(ns, dtype=np.float32)
+            end_mn_inv[block_ends] = 1.0 / np.maximum(batch.block_mn, 1)
+            end_mn_half[block_ends] = (batch.block_mn + 1) // 2
+            end_fail_gate[block_ends] = batch.block_is_cross.astype(np.float32)
+
+            # pair threshold / is_self expanded to sub rows (pads: inf / self)
+            thr_ns = np.full(ns, np.inf, dtype=np.float32)
+            self_ns = np.ones(ns, dtype=bool)
+            if ns_real:
+                thr_ns[:ns_real] = batch.pair_threshold[sub_pair]
+                self_ns[:ns_real] = batch.pair_meta[sub_pair, 5] == 1
+
+            # bounded scan depths: longest block span / longest pair span
+            counts_b = np.bincount(sub_block, minlength=nb)[:nb]
+            max_block = max(1, int(counts_b.max(initial=1)))
+            counts_p = np.bincount(sub_pair, minlength=np_real)[:np_real]
+            max_pair = max(1, int(counts_p.max(initial=1)))
+
         d1 = depth1 if depth1 is not None else max(1, int(np.ceil(np.log2(max_block))))
         d2 = depth2 if depth2 is not None else max(2, int(np.ceil(np.log2(max_pair))))
 

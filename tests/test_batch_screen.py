@@ -158,3 +158,30 @@ def test_native_dfs_matches_python(rich_model, test_ligands):
     native = _dfs_scores(batch, table)
     python = _dfs_scores_python(batch, table)
     np.testing.assert_allclose(native, python, rtol=1e-6, atol=1e-7)
+
+
+def test_native_prep_matches_numpy(rich_model, test_ligands):
+    """The fused C++ device-arg prep must be bit-identical to numpy."""
+    import numpy as np
+    import pytest
+
+    from pharmaconet_tpu.native import get_prep_args
+    from pharmaconet_tpu.scoring.batch_screen import (
+        BatchScreener,
+        PackedLigand,
+        build_batch,
+    )
+
+    if get_prep_args() is None:
+        pytest.skip("no C++ toolchain")
+    screener = BatchScreener(rich_model)
+    packed = [PackedLigand.from_ligand(lig) for lig in test_ligands]
+    batch = build_batch(screener.packed_model, packed)
+    args_cc, depths_cc = screener.device_args(batch, native=True)
+    args_py, depths_py = screener.device_args(batch, native=False)
+    assert depths_cc == depths_py
+    names = ["node_pos", "muT", "invT", "winvT", "pair_u", "pair_v",
+             "sub_slot", "flags_block", "flags_pair", "end_mn_inv",
+             "end_mn_half", "end_fail_gate", "thr_ns", "self_ns"]
+    for name, a, b in zip(names, args_cc, args_py):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
