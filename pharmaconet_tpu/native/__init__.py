@@ -100,6 +100,27 @@ def get_prep_args():
     return lib.prep_args
 
 
+def get_prune_pairs():
+    """Returns the ctypes prune_pairs symbol, or None if unavailable."""
+    lib = _load("prep_args", "prep_args.cpp", "libprepargs.so")
+    if lib is None:
+        return None
+    if not hasattr(lib.prune_pairs, "_configured"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        boolp = np.ctypeslib.ndpointer(np.bool_, flags="C_CONTIGUOUS")
+        lib.prune_pairs.restype = None
+        lib.prune_pairs.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # np, cmax, lmax
+            i32p,  # pair_meta
+            f32p, f32p,  # lig_center, lig_size
+            f32p, f32p,  # model_center, model_size
+            boolp,  # pruned
+        ]
+        lib.prune_pairs._configured = True
+    return lib.prune_pairs
+
+
 def get_match_dfs():
     """Returns the ctypes match_dfs symbol, or None if unavailable."""
     lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so")

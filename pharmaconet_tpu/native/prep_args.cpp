@@ -117,3 +117,48 @@ extern "C" int32_t prep_args(
     out_max[1] = max_pair;
     return 0;
 }
+
+// Geometric feasibility prune per (ligand-cluster, model-cluster) pair:
+// True where min over conformers of |d_lig - d_model| - (r1+r2) exceeds the
+// model pair's combined size (host_prune_mask in scoring/batch_screen.py;
+// reference semantics: graph_match.py:267). Float ops ordered to match the
+// numpy float32 path bit-for-bit.
+extern "C" void prune_pairs(
+    int64_t np_real,
+    int64_t cmax,               // conformers per ligand (padded)
+    int64_t lmax,               // clusters per ligand (padded)
+    const int32_t* pair_meta,   // [np_real, 6] (li, l1, l2, m1, m2, is_self)
+    const float* lig_center,    // [B, lmax, cmax, 3]
+    const float* lig_size,      // [B, lmax, cmax]
+    const float* model_center,  // [M, 3]
+    const float* model_size,    // [M]
+    uint8_t* pruned)            // [np_real]
+{
+    for (int64_t p = 0; p < np_real; ++p) {
+        const int32_t* m = pair_meta + p * 6;
+        const int64_t li = m[0], l1 = m[1], l2 = m[2];
+        const int64_t m1 = m[3], m2 = m[4];
+        const bool is_self = m[5] == 1;
+
+        const float mdx = model_center[m1 * 3 + 0] - model_center[m2 * 3 + 0];
+        const float mdy = model_center[m1 * 3 + 1] - model_center[m2 * 3 + 1];
+        const float mdz = model_center[m1 * 3 + 2] - model_center[m2 * 3 + 2];
+        const float model_dist = std::sqrt(mdx * mdx + mdy * mdy + mdz * mdz);
+        const float model_sz = model_size[m1] + model_size[m2];
+
+        const float* c1 = lig_center + ((li * lmax + l1) * cmax) * 3;
+        const float* c2 = lig_center + ((li * lmax + l2) * cmax) * 3;
+        const float* s1 = lig_size + (li * lmax + l1) * cmax;
+        const float* s2 = lig_size + (li * lmax + l2) * cmax;
+        float best = std::numeric_limits<float>::infinity();
+        for (int64_t c = 0; c < cmax; ++c) {
+            const float dx = c1[c * 3 + 0] - c2[c * 3 + 0];
+            const float dy = c1[c * 3 + 1] - c2[c * 3 + 1];
+            const float dz = c1[c * 3 + 2] - c2[c * 3 + 2];
+            const float d = std::sqrt(dx * dx + dy * dy + dz * dz);
+            const float v = std::fabs(d - model_dist) - (s1[c] + s2[c]);
+            if (v < best) best = v;
+        }
+        pruned[p] = (best > model_sz) && !is_self;
+    }
+}

@@ -619,12 +619,38 @@ def compact_pair_table(batch: ScreenBatch, expanded: np.ndarray) -> np.ndarray:
     return table
 
 
-def host_prune_mask(batch: ScreenBatch, model: PackedModel) -> np.ndarray:
+def host_prune_mask(
+    batch: ScreenBatch, model: PackedModel, native: bool | None = None
+) -> np.ndarray:
     """Geometric feasibility prune per pair (graph_match.py:267), computed
-    on the host (static per batch): True where the pair must score -1."""
+    on the host (static per batch): True where the pair must score -1.
+
+    Dispatches to the C++ kernel (native/prep_args.cpp prune_pairs) when
+    available; the numpy path below is the reference/fallback."""
     meta = batch.pair_meta
     if len(meta) == 0:
         return np.zeros(0, dtype=bool)
+    if native is not False:
+        from ..native import get_prune_pairs
+
+        fn = get_prune_pairs()
+        if fn is not None:
+            np_real = len(meta)
+            lmax = batch.lig_cluster_center.shape[1]
+            cmax = batch.lig_cluster_center.shape[2]
+            pruned = np.empty(np_real, dtype=bool)
+            fn(
+                np_real, cmax, lmax,
+                np.ascontiguousarray(meta),
+                np.ascontiguousarray(batch.lig_cluster_center),
+                np.ascontiguousarray(batch.lig_cluster_size),
+                np.ascontiguousarray(model.cluster_center),
+                np.ascontiguousarray(model.cluster_size),
+                pruned,
+            )
+            return pruned
+        if native is True:
+            raise RuntimeError("native prune_pairs unavailable")
     li, l1, l2 = meta[:, 0], meta[:, 1], meta[:, 2]
     m1, m2, is_self = meta[:, 3], meta[:, 4], meta[:, 5] == 1
     lc1 = batch.lig_cluster_center[li, l1]  # [NP, C, 3]

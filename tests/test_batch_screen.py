@@ -185,3 +185,27 @@ def test_native_prep_matches_numpy(rich_model, test_ligands):
              "end_mn_half", "end_fail_gate", "thr_ns", "self_ns"]
     for name, a, b in zip(names, args_cc, args_py):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_native_prune_matches_numpy(rich_model, test_ligands):
+    """The C++ geometric prune must match the numpy reference exactly."""
+    import numpy as np
+    import pytest
+
+    from pharmaconet_tpu.native import get_prune_pairs
+    from pharmaconet_tpu.scoring.batch_screen import (
+        BatchScreener,
+        PackedLigand,
+        build_batch,
+        host_prune_mask,
+    )
+
+    if get_prune_pairs() is None:
+        pytest.skip("no C++ toolchain")
+    screener = BatchScreener(rich_model)
+    packed = [PackedLigand.from_ligand(lig) for lig in test_ligands]
+    batch = build_batch(screener.packed_model, packed)
+    cc = host_prune_mask(batch, screener.packed_model, native=True)
+    py = host_prune_mask(batch, screener.packed_model, native=False)
+    np.testing.assert_array_equal(cc, py)
+    assert cc.dtype == np.bool_
