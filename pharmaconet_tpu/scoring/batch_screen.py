@@ -433,30 +433,42 @@ def _build_batch_native(
     cluster_nodes: list[int] = []
     node_masks: list[np.ndarray] = []
     active_list: list[int] = []
-    cand_offsets = [0]
-    cands_flat: list[int] = []
     candidates_all = []
     cluster_counts = []
     model_masks = model.cluster_mask  # [M]
 
+    # candidates via bitwise mask overlap, vectorized across the whole batch
+    # (one [sum_L, M] pass instead of per-ligand nonzero calls)
+    all_cluster_masks = np.concatenate(
+        [lig.cluster_mask for lig in ligands]
+    ) if ligands else np.zeros(0, np.int64)
+    overlap_all = (all_cluster_masks[:, None] & model_masks[None, :]) != 0
+    row_counts = overlap_all.sum(axis=1)
+    nz_cols = np.nonzero(overlap_all)[1].astype(np.int64)
+    row_offsets = np.concatenate([[0], np.cumsum(row_counts)])
+
+    row = 0
     for li, lig in enumerate(ligands):
-        cluster_counts.append(len(lig.clusters))
+        num_l = len(lig.clusters)
+        cluster_counts.append(num_l)
         for nodes in lig.clusters:
             cluster_nodes.extend(nodes)
             cluster_node_offsets.append(len(cluster_nodes))
         node_masks.append(lig.node_mask)
-        # candidates via bitwise mask overlap
-        overlap = (lig.cluster_mask[:, None] & model_masks[None, :]) != 0  # [L, M]
-        cands = [list(np.nonzero(overlap[l])[0]) for l in range(len(lig.clusters))]
-        active = [l for l in range(len(lig.clusters)) if cands[l]][:MAX_MATCH_DEPTH]
+        cands = [
+            nz_cols[row_offsets[row + l] : row_offsets[row + l + 1]]
+            for l in range(num_l)
+        ]
+        active = [l for l in range(num_l) if row_counts[row + l]][:MAX_MATCH_DEPTH]
         candidates_all.append((active, cands))
         active_list.extend(active)
-        for l in range(len(lig.clusters)):
-            cands_flat.extend(cands[l])
-            cand_offsets.append(len(cands_flat))
+        row += num_l
         lig_cluster_offsets[li + 1] = len(cluster_node_offsets) - 1
         node_mask_offsets[li + 1] = node_mask_offsets[li] + len(lig.node_mask)
         active_offsets[li + 1] = len(active_list)
+
+    cands_flat = nz_cols
+    cand_offsets = row_offsets
 
     ct_offsets, ct_nodes = model.ct_tables()
     mu = np.ascontiguousarray(model.mu)
@@ -490,8 +502,8 @@ def _build_batch_native(
             node_mask_offsets, node_masks_flat,
             active_offsets,
             np.asarray(active_list, dtype=np.int32) if active_list else np.zeros(0, np.int32),
-            np.asarray(cand_offsets, dtype=np.int32),
-            np.asarray(cands_flat, dtype=np.int32) if cands_flat else np.zeros(0, np.int32),
+            cand_offsets.astype(np.int32),
+            cands_flat.astype(np.int32) if len(cands_flat) else np.zeros(0, np.int32),
             BLOCK_P, cap_ns, cap_nb, cap_np,
             sub_mu, sub_std, sub_w, sub_d, sub_block,
             block_mn, block_pair, block_cross,
