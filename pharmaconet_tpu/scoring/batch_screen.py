@@ -364,7 +364,10 @@ def unique_distance_table(batch: ScreenBatch) -> tuple[np.ndarray, np.ndarray, n
     [B*Ln] position array — and sub_slot [NS] indices into that table).
     """
     ln = batch.ln
-    uniq, inverse = np.unique(batch.sub_d_idx, return_inverse=True)
+    # sort + searchsorted instead of np.unique(return_inverse=True): the
+    # inverse via binary search skips the full argsort (~3x faster here)
+    uniq = np.unique(batch.sub_d_idx)
+    inverse = np.searchsorted(uniq, batch.sub_d_idx)
     li = uniq // (ln * ln)
     rem = uniq % (ln * ln)
     pair_u = (li * ln + rem // ln).astype(np.int32)
