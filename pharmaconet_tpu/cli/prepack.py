@@ -21,6 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output packed library (.npz)")
     parser.add_argument("--num_conformers", type=int, default=None,
                         help="cap conformers per ligand")
+    parser.add_argument("--cpus", type=int, default=1,
+                        help="worker processes for parsing")
     return parser
 
 
@@ -30,7 +32,7 @@ def main(args) -> int:
     library = Path(args.library_dir)
     files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
     print(f"packing {len(files)} ligand files ...")
-    packed, names = build_library_from_files(files, args.num_conformers)
+    packed, names = build_library_from_files(files, args.num_conformers, cpus=args.cpus)
     save_library(args.out, packed, names)
     print(f"packed {len(packed)} ligands -> {args.out}")
     return 0

@@ -9,7 +9,6 @@ device batches (sharded over all local devices when more than one).
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 
@@ -27,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     cfg.add_argument("-o", "--out", type=str, required=True, help="result CSV path")
     cfg.add_argument("--batch_size", type=int, default=1024, help="ligands per device batch")
     cfg.add_argument("--cpus", type=int, default=1,
-                     help="accepted for reference compatibility (unused: scoring runs on device)")
+                     help="worker processes for ligand file parsing (scoring runs on device)")
 
     param = parser.add_argument_group("parameter")
     param.add_argument("--hydrophobic", type=float, default=1.0, help="weight for hydrophobic carbon")
@@ -92,13 +91,11 @@ def main(args) -> int:
             batch_files.clear()
             batch_ligands.clear()
 
-        for path in files:
-            try:
-                batch_ligands.append(Ligand.load_from_file(path))
-                batch_files.append(str(path))
-            except Exception as e:
-                print(f"skip {path}: {e}", file=sys.stderr)
-                continue
+        from pharmaconet_tpu.scoring.parse_pool import iter_parsed
+
+        for path_str, ligand in iter_parsed(files, cpus=args.cpus):
+            batch_ligands.append(ligand)
+            batch_files.append(path_str)
             if len(batch_ligands) >= args.batch_size:
                 flush()
         flush()

@@ -15,7 +15,6 @@ from pathlib import Path
 import numpy as np
 
 from .batch_screen import PackedLigand
-from .ligand import Ligand
 
 
 def pack_library(ligands: list[PackedLigand], names: list[str] | None = None) -> dict:
@@ -116,16 +115,19 @@ def load_library(path: str | Path) -> tuple[list[PackedLigand], list[str]]:
 
 
 def build_library_from_files(
-    files: list[str | Path], num_conformers: int | None = None
+    files: list[str | Path], num_conformers: int | None = None, cpus: int = 1
 ) -> tuple[list[PackedLigand], list[str]]:
-    """Parse + perceive + pack a list of ligand files (skips failures)."""
+    """Parse + perceive + pack a list of ligand files (skips failures).
+
+    cpus > 1 parses in a jax-free process pool (scoring/parse_pool.py)."""
+    from .parse_pool import iter_parsed
+
     packed: list[PackedLigand] = []
     names: list[str] = []
-    for path in files:
+    for path_str, ligand in iter_parsed(files, cpus=cpus, num_conformers=num_conformers):
         try:
-            ligand = Ligand.load_from_file(path, num_conformers)
             packed.append(PackedLigand.from_ligand(ligand))
-            names.append(str(path))
         except Exception:  # noqa: BLE001 - tolerant library building
             continue
+        names.append(path_str)
     return packed, names

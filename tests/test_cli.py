@@ -111,3 +111,23 @@ def test_packed_library_roundtrip_and_screen(pm_model, tmp_path):
         [scores_by_name(out_direct)[k] for k in sorted(scores_by_name(out_direct))],
         rtol=1e-6,
     )
+
+
+def test_parallel_parse_pool(pm_model, tmp_path):
+    """--cpus N parses in worker processes with identical results."""
+    from pharmaconet_tpu.scoring.parse_pool import iter_parsed
+
+    library = tmp_path / "library"
+    library.mkdir()
+    for i, sdf in enumerate([ETHANOL_SDF, BENZENE_SDF, ACETATE_SDF] * 2):
+        (library / f"mol_{i}.sdf").write_text(sdf)
+    (library / "broken.sdf").write_text("not a molecule")
+    files = sorted(library.rglob("*.sdf"))
+
+    serial = list(iter_parsed(files, cpus=1))
+    pooled = list(iter_parsed(files, cpus=2))
+    assert [p for p, _ in serial] == [p for p, _ in pooled]
+    assert len(serial) == 6  # broken.sdf skipped
+    for (_, a), (_, b) in zip(serial, pooled):
+        np.testing.assert_array_equal(a.graph.nodes[0].positions, b.graph.nodes[0].positions)
+        assert len(a.graph.nodes) == len(b.graph.nodes)
