@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     env = parser.add_argument_group("environment")
     env.add_argument("--weight_path", type=str, help="custom weight path (.npz or reference model.tar)")
     env.add_argument("--force", action="store_true", help="overwrite existing outputs")
+    env.add_argument("--precision", choices=("float32", "tensorfloat32", "bfloat16"),
+                     default="float32",
+                     help="matmul/conv precision: float32 matches the reference to 1e-4; "
+                          "lower precisions trade parity for device latency")
     env.add_argument("-v", "--verbose", action="store_true", help="verbose")
 
     adv = parser.add_argument_group("advanced")
@@ -56,7 +60,7 @@ def main(args) -> int:
     save_dir = Path(args.out_dir) if args.out_dir else Path("./result") / prefix
     save_dir.mkdir(exist_ok=True, parents=True)
 
-    module = PharmacoNet(weight_path=args.weight_path)
+    module = PharmacoNet(weight_path=args.weight_path, matmul_precision=args.precision)
     logging.info("Load PharmacoNet finish")
 
     if isinstance(args.pdb, str):

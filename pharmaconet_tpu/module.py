@@ -377,15 +377,30 @@ class PharmacoNet:
             jnp.asarray(data.center),
             with_segmentation=True,
         )
-        hotspot_idx = np.asarray(out["hotspot_index"])
-        hotspot_valid = np.asarray(out["hotspot_valid"])
-        rel_scores = np.asarray(out["rel_scores"])
+        return self.hotspot_infos_from_outputs(
+            data,
+            np.asarray(out["hotspot_index"]),
+            np.asarray(out["hotspot_valid"]),
+            np.asarray(out["rel_scores"]),
+            out["density_maps"],
+        )
+
+    def hotspot_infos_from_outputs(
+        self,
+        data: ProteinData,
+        hotspot_idx: np.ndarray,
+        hotspot_valid: np.ndarray,
+        rel_scores: np.ndarray,
+        density_maps: jax.Array,
+    ) -> list[dict[str, Any]]:
+        """Host post-processing of one pocket's device outputs (shared by the
+        single-pocket path and parallel.modeling's multi-pocket driver)."""
         # transfer only the valid hotspot maps (device-side gather first)
         valid_slots = np.nonzero(hotspot_valid)[0]
         if len(valid_slots):
-            density_valid = np.asarray(out["density_maps"][jnp.asarray(valid_slots)])
+            density_valid = np.asarray(density_maps[jnp.asarray(valid_slots)])
         else:
-            density_valid = np.zeros((0,) + tuple(out["density_maps"].shape[1:]), np.float32)
+            density_valid = np.zeros((0,) + tuple(density_maps.shape[1:]), np.float32)
 
         hotspot_infos = []
         for k, slot in enumerate(valid_slots):

@@ -58,3 +58,55 @@ def test_sharded_matches_single(model):
     sharded = ShardedScreener(model, mesh=data_mesh()).score_ligands(ligands)
     np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-6)
     assert max(single) > 0.0
+
+
+def test_sharded_modeler_matches_single(protein_pdb, ref_ligand_pdb):
+    """Multi-pocket shard_map modeling must reproduce the per-pocket path."""
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.parallel.modeling import ShardedModeler
+
+    pmnet = PharmacoNet(
+        weight_path=None,
+        score_threshold=0.0,
+        verbose=False,
+        max_hotspots=8,
+        segmentation_chunk=4,
+        grid_dim=16,
+        model_kwargs=dict(
+            embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=2,
+            token_feature_dim=16,
+        ),
+    )
+    data1 = pmnet.parse(protein_pdb, ref_ligand_pdb)
+    data2 = pmnet.parse(protein_pdb, center=np.asarray(data1.center) + 1.0)
+    single = [pmnet.create_density_maps(d) for d in (data1, data2)]
+    modeler = ShardedModeler(pmnet, mesh=data_mesh())
+    batch = modeler.create_density_maps_batch([data1, data2])
+    assert len(batch) == 2
+    for infos_s, infos_b in zip(single, batch):
+        assert len(infos_s) == len(infos_b)
+        for a, b in zip(infos_s, infos_b):
+            assert a["nci_type"] == b["nci_type"]
+            assert a["hotspot_position"] == b["hotspot_position"]
+            np.testing.assert_allclose(a["hotspot_score"], b["hotspot_score"], atol=1e-5)
+            np.testing.assert_allclose(a["point_map"], b["point_map"], atol=1e-4)
+
+
+def test_sharded_modeler_run_batch(protein_pdb, ref_ligand_pdb):
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.parallel.modeling import ShardedModeler
+
+    pmnet = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False, max_hotspots=8,
+        segmentation_chunk=4, grid_dim=16,
+        model_kwargs=dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2),
+                          window=2, token_feature_dim=16),
+    )
+    modeler = ShardedModeler(pmnet, mesh=data_mesh())
+    models = modeler.run_batch(
+        [(protein_pdb, ref_ligand_pdb, None)] * 3
+    )
+    assert len(models) == 3
+    assert all(isinstance(m, PharmacophoreModel) for m in models)
+    # identical jobs -> identical graphs
+    assert len(models[0].nodes) == len(models[1].nodes) == len(models[2].nodes)
