@@ -15,6 +15,12 @@
 //   [self rows:  for l in active: for m in cands[l]]
 //   [cross rows: for i1 < i2: for m1 in cands[l_i1]: for m2 in cands[l_i2]]
 //
+// Candidate state (accumulated cross scores + per-conformer alive masks)
+// lives in a preallocated arena indexed by [depth][entry][conformer] —
+// the depth slot (level+1) is unique per stack frame, so filtering writes
+// never clobber a state another frame still reads. This removes all
+// per-node heap allocation from the search.
+//
 // Build: g++ -O3 -std=c++17 -shared -fPIC match_dfs.cpp -o libmatchdfs.so
 
 #include <cstdint>
@@ -30,54 +36,76 @@ struct LigandCtx {
     int64_t cmax;
     int c;               // real conformers
     int n_active;
-    const int32_t* cand_counts;  // [n_active]
+    const int32_t* cand_counts;         // [n_active]
     std::vector<int64_t> self_offset;   // per active cluster -> first self row
+    std::vector<int64_t> entry_offset;  // per active cluster -> first arena slot
     std::vector<std::vector<int64_t>> cross_offset;  // [i1][i2] -> first cross row
-    std::vector<float> best;  // [c] running best per conformer
-};
+    std::vector<float> best;            // [c] running best per conformer
 
-// candidate state: accumulated cross scores + alive mask per conformer
-struct Entry {
-    int cand;              // candidate index within its cluster
-    std::vector<float> accum;
-    std::vector<uint8_t> alive;
-    bool any = true;
-};
+    // state arena: depth in [0, n_active], slot in [0, total_entries)
+    int total_entries;
+    std::vector<float> accum;    // [depth][slot][c]
+    std::vector<uint8_t> alive;  // [depth][slot][c]
+    std::vector<uint8_t> any;    // [depth][slot]
+    std::vector<float> ps_stack;       // [n_active + 2][c]
+    std::vector<uint8_t> psalive_stack;
 
-using Level = std::vector<Entry>;  // entries for one not-yet-assigned cluster
+    inline float* acc(int d, int64_t slot) {
+        return accum.data() + ((int64_t)d * total_entries + slot) * c;
+    }
+    inline uint8_t* alv(int d, int64_t slot) {
+        return alive.data() + ((int64_t)d * total_entries + slot) * c;
+    }
+    inline uint8_t& anyf(int d, int64_t slot) {
+        return any[(size_t)((int64_t)d * total_entries + slot)];
+    }
+};
 
 int dfs(LigandCtx& ctx,
-        int level,                    // index of the cluster just assigned (-1 at root)
-        int chosen_cand,              // candidate index, or -1 for None/root
-        bool has_model,               // true if a model cluster was assigned here
+        int level,            // index of the cluster just assigned (-1 at root)
+        int chosen_cand,      // candidate index, or -1 for None/root
+        bool has_model,       // true if a model cluster was assigned here
         int num_matches,
-        const std::vector<float>& ps,       // node conformer totals
-        const std::vector<uint8_t>& ps_alive,
-        std::vector<Level> match)     // levels (level+1 .. n_active-1), by value
+        const float* ps,            // [c] node conformer totals
+        const uint8_t* ps_alive,    // [c]
+        int src)                    // arena depth holding deeper-cluster state
 {
     const int c = ctx.c;
+    int state = src;
+
     // filter deeper candidates against the newly assigned cluster
     if (has_model) {
+        const int dst = level + 1;
         for (int lv = level + 1; lv < ctx.n_active; ++lv) {
-            Level& entries = match[lv - (level + 1)];
-            for (Entry& e : entries) {
-                if (!e.any) continue;
-                const int64_t row =
-                    ctx.cross_offset[level][lv]
-                    + (int64_t)chosen_cand * ctx.cand_counts[lv] + e.cand;
-                const float* pair = ctx.table + row * ctx.cmax;
+            const int64_t base = ctx.entry_offset[(size_t)lv];
+            const int64_t cross0 =
+                ctx.cross_offset[(size_t)level][(size_t)lv]
+                + (int64_t)chosen_cand * ctx.cand_counts[lv];
+            for (int j = 0; j < ctx.cand_counts[lv]; ++j) {
+                const int64_t slot = base + j;
+                if (!ctx.anyf(src, slot)) {
+                    ctx.anyf(dst, slot) = 0;
+                    continue;
+                }
+                const float* pair = ctx.table + (cross0 + j) * ctx.cmax;
+                const float* sacc = ctx.acc(src, slot);
+                const uint8_t* salv = ctx.alv(src, slot);
+                float* dacc = ctx.acc(dst, slot);
+                uint8_t* dalv = ctx.alv(dst, slot);
                 bool any = false;
                 for (int ci = 0; ci < c; ++ci) {
-                    if (e.alive[ci] && ps_alive[ci] && pair[ci] > 0.0f) {
-                        e.accum[ci] += pair[ci];
+                    if (salv[ci] && ps_alive[ci] && pair[ci] > 0.0f) {
+                        dacc[ci] = sacc[ci] + pair[ci];
+                        dalv[ci] = 1;
                         any = true;
                     } else {
-                        e.alive[ci] = 0;
+                        dalv[ci] = 0;
                     }
                 }
-                e.any = any;
+                ctx.anyf(dst, slot) = any;
             }
         }
+        state = dst;
     }
 
     if (level >= ctx.n_active - 1) {
@@ -89,29 +117,34 @@ int dfs(LigandCtx& ctx,
     }
 
     const int child = level + 1;
-    Level child_entries = std::move(match[0]);
-    std::vector<Level> rest(match.begin() + 1, match.end());
+    float* cps = ctx.ps_stack.data() + (size_t)(child + 1) * c;
+    uint8_t* cal = ctx.psalive_stack.data() + (size_t)(child + 1) * c;
+    const int64_t child_base = ctx.entry_offset[(size_t)child];
 
     int max_matches = 0;
     bool any_child = false;
-    for (const Entry& e : child_entries) {
-        if (!e.any) continue;
+    for (int j = 0; j < ctx.cand_counts[child]; ++j) {
+        const int64_t slot = child_base + j;
+        if (!ctx.anyf(state, slot)) continue;
         any_child = true;
-        std::vector<float> cps(c, 0.0f);
-        std::vector<uint8_t> calive(c, 0);
-        const int64_t self_row = ctx.self_offset[child] + e.cand;
-        const float* self_scores = ctx.table + self_row * ctx.cmax;
+        const float* self_scores =
+            ctx.table + (ctx.self_offset[(size_t)child] + j) * ctx.cmax;
+        const float* eacc = ctx.acc(state, slot);
+        const uint8_t* ealv = ctx.alv(state, slot);
         for (int ci = 0; ci < c; ++ci) {
-            if (e.alive[ci]) {
-                calive[ci] = 1;
-                cps[ci] = ps[ci] + self_scores[ci] + e.accum[ci];
+            if (ealv[ci]) {
+                cal[ci] = 1;
+                cps[ci] = ps[ci] + self_scores[ci] + eacc[ci];
+            } else {
+                cal[ci] = 0;
+                cps[ci] = 0.0f;
             }
         }
-        const int nm = dfs(ctx, child, e.cand, true, num_matches + 1, cps, calive, rest);
+        const int nm = dfs(ctx, child, j, true, num_matches + 1, cps, cal, state);
         if (nm > max_matches) max_matches = nm;
     }
     if (!any_child || num_matches + max_matches < MIN_MATCHES) {
-        const int nm = dfs(ctx, child, -1, false, num_matches, ps, ps_alive, rest);
+        const int nm = dfs(ctx, child, -1, false, num_matches, ps, ps_alive, state);
         if (nm > max_matches) max_matches = nm;
     }
     return max_matches + (has_model ? 1 : 0);
@@ -130,6 +163,7 @@ extern "C" void match_dfs(
     const int32_t* cand_counts,     // [sum active] candidates per active cluster
     float* out_scores            // [B]
 ) {
+    LigandCtx ctx;  // buffers reused across ligands
     for (int32_t li = 0; li < num_ligands; ++li) {
         const int32_t a_lo = active_offsets[li];
         const int32_t a_hi = active_offsets[li + 1];
@@ -139,7 +173,6 @@ extern "C" void match_dfs(
             out_scores[li] = 0.0f;
             continue;
         }
-        LigandCtx ctx;
         ctx.cmax = cmax;
         ctx.c = c;
         ctx.n_active = n_active;
@@ -149,12 +182,17 @@ extern "C" void match_dfs(
 
         // row offsets matching the packer's emission order
         ctx.self_offset.resize((size_t)n_active);
+        ctx.entry_offset.resize((size_t)n_active);
         int64_t row = 0;
+        int64_t slots = 0;
         for (int l = 0; l < n_active; ++l) {
             ctx.self_offset[(size_t)l] = row;
+            ctx.entry_offset[(size_t)l] = slots;
             row += ctx.cand_counts[l];
+            slots += ctx.cand_counts[l];
         }
-        ctx.cross_offset.assign((size_t)n_active, std::vector<int64_t>((size_t)n_active, -1));
+        ctx.cross_offset.assign(
+            (size_t)n_active, std::vector<int64_t>((size_t)n_active, -1));
         for (int i1 = 0; i1 < n_active; ++i1) {
             for (int i2 = i1 + 1; i2 < n_active; ++i2) {
                 ctx.cross_offset[(size_t)i1][(size_t)i2] = row;
@@ -162,20 +200,20 @@ extern "C" void match_dfs(
             }
         }
 
-        // initial candidate state: zero accum, all conformers alive
-        std::vector<Level> match((size_t)n_active);
-        for (int l = 0; l < n_active; ++l) {
-            Level& entries = match[(size_t)l];
-            entries.resize((size_t)ctx.cand_counts[l]);
-            for (int j = 0; j < ctx.cand_counts[l]; ++j) {
-                entries[(size_t)j].cand = j;
-                entries[(size_t)j].accum.assign((size_t)c, 0.0f);
-                entries[(size_t)j].alive.assign((size_t)c, 1);
-            }
-        }
-        std::vector<float> ps((size_t)c, 0.0f);
-        std::vector<uint8_t> alive((size_t)c, 1);
-        dfs(ctx, -1, -1, false, 0, ps, alive, std::move(match));
+        // arena: depth 0 holds the root state (zero accum, all alive)
+        ctx.total_entries = (int)slots;
+        const size_t depths = (size_t)n_active + 1;
+        ctx.accum.resize(depths * (size_t)slots * (size_t)c);
+        ctx.alive.resize(depths * (size_t)slots * (size_t)c);
+        ctx.any.resize(depths * (size_t)slots);
+        std::memset(ctx.accum.data(), 0, (size_t)slots * (size_t)c * sizeof(float));
+        std::memset(ctx.alive.data(), 1, (size_t)slots * (size_t)c);
+        std::memset(ctx.any.data(), 1, (size_t)slots);
+
+        ctx.ps_stack.assign((size_t)(n_active + 2) * (size_t)c, 0.0f);
+        ctx.psalive_stack.assign((size_t)(n_active + 2) * (size_t)c, 1);
+        dfs(ctx, -1, -1, false, 0,
+            ctx.ps_stack.data(), ctx.psalive_stack.data(), 0);
 
         float total = 0.0f;
         for (int ci = 0; ci < c; ++ci) total += ctx.best[ci];
