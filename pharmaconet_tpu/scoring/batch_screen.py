@@ -137,6 +137,20 @@ class PackedLigand:
     cluster_size: np.ndarray  # [L, C]
     num_conformers: int
 
+    def flat_clusters(self) -> tuple[np.ndarray, np.ndarray]:
+        """(members [sum_n], offsets [L+1]) — cached flattening of `clusters`
+        for the native packer (avoids per-ligand Python extends per batch)."""
+        cached = getattr(self, "_flat_clusters", None)
+        if cached is None:
+            members = np.asarray(
+                [n for nodes in self.clusters for n in nodes], dtype=np.int32
+            )
+            offsets = np.zeros(len(self.clusters) + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum([len(nodes) for nodes in self.clusters])
+            cached = (members, offsets)
+            object.__setattr__(self, "_flat_clusters", cached)
+        return cached
+
     @classmethod
     def from_ligand(cls, ligand: Ligand) -> "PackedLigand":
         graph = ligand.graph
@@ -432,8 +446,9 @@ def _build_batch_native(
     lig_cluster_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
     node_mask_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
     active_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
-    cluster_node_offsets = [0]
-    cluster_nodes: list[int] = []
+    member_arrays: list[np.ndarray] = []
+    member_offset_arrays: list[np.ndarray] = []
+    member_base = 0
     node_masks: list[np.ndarray] = []
     active_list: list[int] = []
     candidates_all = []
@@ -454,9 +469,10 @@ def _build_batch_native(
     for li, lig in enumerate(ligands):
         num_l = len(lig.clusters)
         cluster_counts.append(num_l)
-        for nodes in lig.clusters:
-            cluster_nodes.extend(nodes)
-            cluster_node_offsets.append(len(cluster_nodes))
+        members, offsets = lig.flat_clusters()
+        member_arrays.append(members)
+        member_offset_arrays.append(offsets[1:] + member_base)
+        member_base += len(members)
         node_masks.append(lig.node_mask)
         cands = [
             nz_cols[row_offsets[row + l] : row_offsets[row + l + 1]]
@@ -466,7 +482,7 @@ def _build_batch_native(
         candidates_all.append((active, cands))
         active_list.extend(active)
         row += num_l
-        lig_cluster_offsets[li + 1] = len(cluster_node_offsets) - 1
+        lig_cluster_offsets[li + 1] = lig_cluster_offsets[li] + num_l
         node_mask_offsets[li + 1] = node_mask_offsets[li] + len(lig.node_mask)
         active_offsets[li + 1] = len(active_list)
 
@@ -500,8 +516,9 @@ def _build_batch_native(
             ct_offsets, ct_nodes, mu, std, weight,
             num_ligands, ln,
             lig_cluster_offsets,
-            np.asarray(cluster_node_offsets, dtype=np.int32),
-            np.asarray(cluster_nodes, dtype=np.int32) if cluster_nodes else np.zeros(0, np.int32),
+            np.concatenate([np.zeros(1, np.int32), *member_offset_arrays])
+            if member_offset_arrays else np.zeros(1, np.int32),
+            np.concatenate(member_arrays) if member_arrays else np.zeros(0, np.int32),
             node_mask_offsets, node_masks_flat,
             active_offsets,
             np.asarray(active_list, dtype=np.int32) if active_list else np.zeros(0, np.int32),
