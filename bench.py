@@ -185,9 +185,12 @@ def main():
         file=sys.stderr,
     )
 
-    # transfer once; time via marginal cost between unroll-1 and unroll-4
-    # programs (single dispatch each, scalar readback forces execution):
-    # isolates true device time from per-dispatch relay latency
+    # transfer once; time via the marginal cost between unroll-8 and
+    # unroll-16 programs (single dispatch each, scalar readback forces
+    # execution). Both programs are DEVICE-bound, so the slope is the true
+    # sustained per-batch kernel cost: an unroll-1 baseline is relay-
+    # dispatch-bound (~25 ms floor on this link) and subtracting it
+    # overestimates throughput ~4x (measured t(k) = 2.4 + 8.9k ms, k>=4)
     import jax.numpy as jnp
 
     from pharmaconet_tpu.scoring.batch_screen import score_blocks_device
@@ -205,9 +208,9 @@ def main():
             return total
         return f
 
-    f1, f4 = make_unrolled(1), make_unrolled(4)
-    _ = float(f1(args))
-    _ = float(f4(args))
+    f8, f16 = make_unrolled(8), make_unrolled(16)
+    _ = float(f8(args))
+    _ = float(f16(args))
 
     def timed(f):
         t0 = time.time()
@@ -216,13 +219,13 @@ def main():
         return (time.time() - t0) / iters
 
     # median of three marginal estimates (relay contention varies; a single
-    # estimate can even go negative when contention hits the unroll-1 run)
+    # estimate can even go negative when contention hits the unroll-8 run)
     import statistics
 
     estimates = []
     for _ in range(3):
-        t1, t4 = timed(f1), timed(f4)
-        estimates.append(max((t4 - t1) / 3, 1e-9))
+        t8, t16 = timed(f8), timed(f16)
+        estimates.append(max((t16 - t8) / 8, 1e-9))
     per_batch = statistics.median(estimates)
     throughput = batch_size / per_batch
     elapsed = per_batch * iters
