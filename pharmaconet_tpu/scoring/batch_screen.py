@@ -760,9 +760,15 @@ def _dfs_scores_python(batch: ScreenBatch, table: np.ndarray) -> list[float]:
 
 
 def _bucket_up(n: int, minimum: int = 1024) -> int:
-    """Round up to the next power-of-two bucket (bounds recompilation)."""
+    """Round up to the next half-octave bucket (1024, 1536, 2048, 3072, ...).
+
+    Two buckets per octave bound recompilation (at most ~2x the pow2 shape
+    count) while capping pad waste at 50% instead of 100% — the screening
+    kernel is HBM-bound, so pad rows are paid for at full bandwidth."""
     size = minimum
     while size < n:
+        if size + size // 2 >= n:
+            return size + size // 2
         size *= 2
     return size
 
