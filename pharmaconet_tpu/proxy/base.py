@@ -20,6 +20,23 @@ logger = logging.getLogger("pharmaconet_tpu.proxy")
 
 Cache = Any
 
+_KEYS_DIR = Path(__file__).parent / "keys"
+
+
+def load_cache_keys(dataset: str, variant: str = "base") -> list[str]:
+    """CrossDocked2020 pocket keys shipped with the pretrained cache DBs.
+
+    Mirrors the reference artifacts `pmnet_appl/keys/{train,test}.txt`
+    (15,201 / 100 pockets) and the TacoGFN variant
+    `pmnet_appl/tacogfn_reward/db_keys/{train,test}.txt` (15,207 / 100).
+    These enumerate the keys present in the 'train'/'test' cache databases
+    accepted by :meth:`BaseProxy.load`.
+    """
+    if dataset not in ("train", "test"):
+        raise ValueError(f"dataset must be 'train' or 'test', got {dataset!r}")
+    sub = {"base": _KEYS_DIR, "tacogfn": _KEYS_DIR / "tacogfn"}[variant]
+    return (sub / f"{dataset}.txt").read_text().split()
+
 
 class BaseProxy:
     cache_gdrive_link: dict[tuple[str, str], str] = {}

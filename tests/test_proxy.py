@@ -98,3 +98,17 @@ def test_sigma_statistics(fake_features):
     sigma = proxy.scoring("tgt", "CCO", return_sigma=True)
     score = proxy.scoring("tgt", "CCO")
     np.testing.assert_allclose(score, sigma * std + mu, rtol=1e-5)
+
+
+def test_cache_key_lists():
+    """Vendored CrossDocked2020 key lists match the reference artifacts
+    (pmnet_appl/keys/{train,test}.txt, tacogfn_reward/db_keys/)."""
+    from pharmaconet_tpu.proxy import load_cache_keys
+
+    train = load_cache_keys("train")
+    test = load_cache_keys("test")
+    assert len(train) == 15201 and len(test) == 100
+    assert train[0] == "4xe6_X" and len(set(train)) == len(train)
+    taco_train = load_cache_keys("train", variant="tacogfn")
+    taco_test = load_cache_keys("test", variant="tacogfn")
+    assert len(taco_train) == 15207 and len(taco_test) == 100
