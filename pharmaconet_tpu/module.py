@@ -318,7 +318,10 @@ class PharmacoNet:
         if not with_segmentation:
             return out
 
-        # 5. top-K hotspot selection (stable: kept tokens first, index order)
+        # 5. first-slab hotspot selection (kept tokens in token index order,
+        # matching the reference's segmentation order, module.py:255-276).
+        # Pockets with more than max_hotspots kept tokens get their overflow
+        # slabs segmented by _segmentation_program (create_density_maps).
         k = self.max_hotspots
         order = jnp.argsort(~keep, stable=True)
         hotspot_idx = order[:k]
@@ -326,8 +329,32 @@ class PharmacoNet:
         hotspot_tokens = tokens[hotspot_idx]
         hotspot_feats = token_features[hotspot_idx]
 
-        # 6. chunked batched segmentation (replaces module.py:261-276 loop)
-        chunk = self.segmentation_chunk
+        density = self._segment_slab(
+            pyramid, protein_mask, cavity_narrow,
+            hotspot_tokens, hotspot_feats, hotspot_valid,
+        )
+
+        out.update(
+            hotspot_index=hotspot_idx,
+            hotspot_valid=hotspot_valid,
+            density_maps=density,
+        )
+        return out
+
+    def _segment_slab(
+        self,
+        pyramid,
+        protein_mask: jax.Array,
+        cavity_narrow: jax.Array,
+        hotspot_tokens: jax.Array,
+        hotspot_feats: jax.Array,
+        hotspot_valid: jax.Array,
+    ) -> jax.Array:
+        """Chunked batched segmentation + fused mask/smooth/threshold for one
+        slab of K hotspots (replaces the reference's per-hotspot loop,
+        module.py:261-276 + 280-288)."""
+        k = hotspot_tokens.shape[0]
+        chunk = min(self.segmentation_chunk, k)
         tok_chunks = hotspot_tokens.reshape(k // chunk, chunk, 4)
         feat_chunks = hotspot_feats.reshape(k // chunk, chunk, -1)
 
@@ -340,18 +367,28 @@ class PharmacoNet:
         logits = jax.lax.map(seg_chunk, (tok_chunks, feat_chunks))
         logits = logits.reshape(k, *logits.shape[2:])  # [K, D, H, W]
 
-        # 7. fused masking + smoothing + thresholding
         density = postprocess_density(
             logits, hotspot_tokens, protein_mask, cavity_narrow, self.box_threshold
         )
-        density = jnp.where(hotspot_valid[:, None, None, None], density, 0.0)
+        return jnp.where(hotspot_valid[:, None, None, None], density, 0.0)
 
-        out.update(
-            hotspot_index=hotspot_idx,
-            hotspot_valid=hotspot_valid,
-            density_maps=density,
-        )
-        return out
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _segmentation_program(
+        self,
+        pyramid,
+        protein_mask: jax.Array,
+        cavity_narrow: jax.Array,
+        hotspot_tokens: jax.Array,
+        hotspot_feats: jax.Array,
+        hotspot_valid: jax.Array,
+    ) -> jax.Array:
+        """Standalone segmentation slab, reusing a pocket's device-resident
+        pyramid — overflow path for pockets with > max_hotspots kept tokens."""
+        with jax.default_matmul_precision(self.matmul_precision):
+            return self._segment_slab(
+                pyramid, protein_mask, cavity_narrow,
+                hotspot_tokens, hotspot_feats, hotspot_valid,
+            )
 
     # ------------------------------------------------------------------
     # Public API (mirrors reference module.py:112-188)
@@ -379,13 +416,45 @@ class PharmacoNet:
             jnp.asarray(data.center),
             with_segmentation=True,
         )
-        return self.hotspot_infos_from_outputs(
+        infos = self.hotspot_infos_from_outputs(
             data,
             np.asarray(out["hotspot_index"]),
             np.asarray(out["hotspot_valid"]),
             np.asarray(out["rel_scores"]),
             out["density_maps"],
         )
+        # Overflow: the fused program segments the first max_hotspots kept
+        # tokens (token index order). The reference segments ALL filtered
+        # hotspots (module.py:255-276), so token-rich pockets continue in
+        # additional slabs reusing the device-resident pyramid.
+        keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
+        k = self.max_hotspots
+        if len(keep_idx) > k:
+            if self.verbose:
+                logger.info(
+                    "pocket has %d hotspots (> %d per slab): running %d overflow slab(s)",
+                    len(keep_idx), k, -(-(len(keep_idx) - k) // k),
+                )
+            rel_scores = np.asarray(out["rel_scores"])
+            for start in range(k, len(keep_idx), k):
+                slab = keep_idx[start : start + k]
+                idx = np.zeros(k, dtype=np.int32)
+                idx[: len(slab)] = slab
+                valid = np.zeros(k, dtype=bool)
+                valid[: len(slab)] = True
+                idx_dev = jnp.asarray(idx)
+                density = self._segmentation_program(
+                    out["pyramid"],
+                    out["protein_mask"],
+                    out["cavity_narrow"],
+                    jnp.asarray(data.tokens)[idx_dev],
+                    out["token_features"][idx_dev],
+                    jnp.asarray(valid),
+                )
+                infos += self.hotspot_infos_from_outputs(
+                    data, idx, valid, rel_scores, density
+                )
+        return infos
 
     def hotspot_infos_from_outputs(
         self,

@@ -59,6 +59,7 @@ class ShardedModeler:
                 "hotspot_valid": out["hotspot_valid"],
                 "rel_scores": out["rel_scores"],
                 "density_maps": out["density_maps"],
+                "keep_count": jnp.sum(out["keep"].astype(jnp.int32)),
             }
 
         def shard_body(ap, af, av, tk, tv, center):
@@ -115,13 +116,22 @@ class ShardedModeler:
         hotspot_idx = np.asarray(out["hotspot_index"])
         hotspot_valid = np.asarray(out["hotspot_valid"])
         rel_scores = np.asarray(out["rel_scores"])
-        return [
-            self.pmnet.hotspot_infos_from_outputs(
-                data, hotspot_idx[i], hotspot_valid[i], rel_scores[i],
-                out["density_maps"][i],
-            )
-            for i, data in enumerate(datas)
-        ]
+        keep_counts = np.asarray(out["keep_count"])
+        results = []
+        for i, data in enumerate(datas):
+            if keep_counts[i] > self.pmnet.max_hotspots:
+                # token-rich pocket: the batched program only segmented the
+                # first max_hotspots kept tokens; re-run the single-pocket
+                # path, which segments every kept token in overflow slabs
+                results.append(self.pmnet.create_density_maps(data))
+            else:
+                results.append(
+                    self.pmnet.hotspot_infos_from_outputs(
+                        data, hotspot_idx[i], hotspot_valid[i], rel_scores[i],
+                        out["density_maps"][i],
+                    )
+                )
+        return results
 
     def run_batch(
         self, jobs: list[tuple[str, str | None, Any]]

@@ -67,3 +67,41 @@ def test_feature_extraction(micro_pmnet, protein_pdb, ref_ligand_pdb):
 def test_center_from_ref_ligand(micro_pmnet, ref_ligand_pdb):
     center = micro_pmnet.get_center(ref_ligand_pdb)
     np.testing.assert_allclose(center, (1.872, -8.260, -1.361), atol=2e-3)
+
+
+def test_overflow_hotspots_all_segmented(protein_pdb, ref_ligand_pdb):
+    """A pocket with more kept tokens than max_hotspots must still segment
+    ALL kept tokens (reference module.py:255-276 segments every filtered
+    hotspot), via overflow slabs — and produce identical results to a run
+    with a large-enough slab."""
+    small = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False,
+        max_hotspots=8, segmentation_chunk=4, grid_dim=32, model_kwargs=MICRO,
+    )
+    big = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False,
+        max_hotspots=256, segmentation_chunk=4, grid_dim=32, model_kwargs=MICRO,
+    )
+    # open the cavity gate so the random-weight micro net keeps every token
+    small.focus_threshold = big.focus_threshold = 0.0
+    data = small.parse(protein_pdb, ref_ligand_pdb)
+    import jax.numpy as jnp
+
+    out = small._device_program(
+        jnp.asarray(data.atom_positions), jnp.asarray(data.atom_features),
+        jnp.asarray(data.atom_valid), jnp.asarray(data.tokens),
+        jnp.asarray(data.token_valid), jnp.asarray(data.center),
+        with_segmentation=False,
+    )
+    n_keep = int(np.asarray(out["keep"]).sum())
+    assert 8 < n_keep <= 256, f"fixture pocket keeps {n_keep} tokens"
+
+    infos_small = small.create_density_maps(data)
+    infos_big = big.create_density_maps(data)
+    assert len(infos_small) == len(infos_big)
+    assert len(infos_small) > 8  # overflow slabs actually ran
+    for a, b in zip(infos_small, infos_big):
+        assert a["nci_type"] == b["nci_type"]
+        assert a["hotspot_position"] == b["hotspot_position"]
+        np.testing.assert_allclose(a["hotspot_score"], b["hotspot_score"], atol=1e-6)
+        np.testing.assert_allclose(a["point_map"], b["point_map"], atol=1e-5)
