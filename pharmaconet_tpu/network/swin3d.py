@@ -56,11 +56,24 @@ def window_reverse(windows: jax.Array, window: int, d: int, h: int, w: int) -> j
 
 
 def make_cpb_table(window: int) -> np.ndarray:
-    """Log-spaced relative-coordinate table [(2w-1)^3, 3] (swinv2.py:57-77)."""
-    rng = np.arange(-(window - 1), window, dtype=np.float64)
+    """Log-spaced relative-coordinate table [(2w-1)^3, 3] (swinv2.py:57-77).
+
+    QUIRK (deliberate): the reference normalizes with in-place slices
+    ``table[:, :, :, c] /= window-1`` on a 5-D [1, 2w-1, 2w-1, 2w-1, 3]
+    tensor (swinv2.py:71-73) — index 3 is the W-OFFSET axis there, not the
+    coordinate channel (the 2D SwinV2 original had 4 dims). So only W-offset
+    slices 0..2 are divided (across all three coordinate channels); the
+    remaining W slices keep raw offsets and scale to +-8(w-1). The frozen
+    checkpoint was trained with this table, so it is reproduced bit-for-bit
+    (verified against the reference buffers in test_reference_parity.py).
+    """
+    rng = np.arange(-(window - 1), window, dtype=np.float32)
     table = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1)  # [2w-1]^3 x 3
-    table = table / max(window - 1, 1) * 8.0
-    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / math.log2(8.0)
+    div = np.float32(max(window - 1, 1))
+    for w_slice in range(min(3, table.shape[2])):
+        table[:, :, w_slice, :] /= div
+    table *= np.float32(8.0)
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.float32(math.log2(8.0))
     return table.reshape(-1, 3).astype(np.float32)
 
 
