@@ -4,8 +4,12 @@ Rebuilds the torch-geometric GINEConv stacks used by both proxies
 (tacogfn_reward/proxy.py:277-334, sbddreward/network/ligand_encoder.py:10-84)
 as segment-sum message passing on flat padded arrays — no torch-geometric.
 
-GINEConv (pyg semantics, eps=0): x_i' = nn(x_i + sum_{j->i} relu(x_j + e_ji))
+GINEConv (pyg semantics): x_i' = nn((1+eps)*x_i + sum_{j->i} relu(x_j + lin(e_ji)))
 with the reference's single-direction edges and nn = Linear + LeakyReLU.
+Because the reference passes edge_dim=hidden_dim, pyg ALWAYS creates the
+internal edge projection `lin` (Linear(edge_dim, in_channels)) and registers
+the scalar `eps` buffer — both are present in the published checkpoints and
+are mapped by the converters.
 """
 
 from __future__ import annotations
@@ -22,10 +26,12 @@ class GINEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, edge_valid):
-        messages = jax.nn.relu(x[edge_src] + edge_attr)  # [E, F]
+        eps = self.param("eps", nn.initializers.zeros, (1,))
+        e = nn.Dense(self.hidden_dim, name="lin")(edge_attr)  # pyg internal lin
+        messages = jax.nn.relu(x[edge_src] + e)  # [E, F]
         messages = jnp.where(edge_valid[:, None], messages, 0.0)
         agg = jax.ops.segment_sum(messages, edge_dst, num_segments=x.shape[0])
-        h = nn.Dense(self.hidden_dim, name="nn_dense")(x + agg)
+        h = nn.Dense(self.hidden_dim, name="nn_dense")((1.0 + eps[0]) * x + agg)
         return jax.nn.leaky_relu(h, negative_slope=0.01)
 
 

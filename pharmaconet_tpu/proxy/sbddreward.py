@@ -175,7 +175,8 @@ class SBDDAffinityHead(nn.Module):
         z_ligand [N,h]. Returns sigma [N]."""
         # dense complex tensor [N, Amax, K, h] from the flat atom batch
         interaction = jnp.einsum("ik,jk->ijk", x_ligand, x_protein)  # [V, K, h]
-        interaction = self.interaction_fc(interaction)
+        # interaction_mlp = Linear + LeakyReLU (reference head.py:15-18)
+        interaction = jax.nn.leaky_relu(self.interaction_fc(interaction), negative_slope=0.01)
         z_complex, mask = _to_dense_batch(
             interaction, atom_graph, atom_valid, num_graphs, max_atoms
         )
@@ -296,7 +297,11 @@ def convert_sbddreward_checkpoint(state: dict[str, np.ndarray]) -> dict:
         "readout_gate": dense("ligand_encoder.readout_gate"),
     }
     for i in range(4):
-        lenc[f"conv_{i}"] = {"nn_dense": dense(f"ligand_encoder.conv_list.{i}.nn.0")}
+        lenc[f"conv_{i}"] = {
+            "nn_dense": dense(f"ligand_encoder.conv_list.{i}.nn.0"),
+            "lin": dense(f"ligand_encoder.conv_list.{i}.lin"),
+            "eps": np.asarray(state[f"ligand_encoder.conv_list.{i}.eps"]).reshape(1),
+        }
 
     head = {
         "interaction_fc": dense("head.interaction_mlp.0"),

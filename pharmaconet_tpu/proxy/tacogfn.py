@@ -77,7 +77,17 @@ class TacoAffinityHead(nn.Module):
         (atom_class, atom_graph, atom_valid, edge_src, edge_dst, edge_class,
         edge_valid, num_graphs). Returns affinity [N]."""
         x_atoms, z_graphs = self.ligand_encoder(batch)
-        atom_graph, atom_valid, num_graphs = batch[1], batch[2], batch[7]
+        return self.affinity_from_encodings(
+            pocket_features, hotspot_features, x_atoms, z_graphs,
+            batch[1], batch[2], batch[7],
+        )
+
+    def affinity_from_encodings(
+        self, pocket_features, hotspot_features, x_atoms, z_graphs,
+        atom_graph, atom_valid, num_graphs,
+    ):
+        """Post-encoder affinity math (proxy.py:256-274), split out so it can
+        be parity-tested against the reference with injected encodings."""
         if self.ligand_layer_atom is not None:
             x_atoms = self.ligand_layer_atom(x_atoms)
         if self.ligand_layer_graph is not None:
@@ -148,7 +158,11 @@ def convert_tacogfn_checkpoint(state: dict[str, np.ndarray]) -> dict:
         "readout_gate": dense("ligand_encoder.readout_gate"),
     }
     for i in range(4):
-        encoder[f"conv_{i}"] = {"nn_dense": dense(f"ligand_encoder.conv_list.{i}.nn.0")}
+        encoder[f"conv_{i}"] = {
+            "nn_dense": dense(f"ligand_encoder.conv_list.{i}.nn.0"),
+            "lin": dense(f"ligand_encoder.conv_list.{i}.lin"),
+            "eps": np.asarray(state[f"ligand_encoder.conv_list.{i}.eps"]).reshape(1),
+        }
 
     params = {
         "token_mlp": dense("token_mlp.1"),

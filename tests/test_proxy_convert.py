@@ -50,6 +50,8 @@ def _synth_tacogfn_state(rng):
     state["ligand_encoder.edge_layer.weight"] = rng.normal(0, 0.1, (5, 128)).astype(np.float32)
     for i in range(4):
         lin(f"ligand_encoder.conv_list.{i}.nn.0", 128, 128)
+        lin(f"ligand_encoder.conv_list.{i}.lin", 128, 128)
+        state[f"ligand_encoder.conv_list.{i}.eps"] = np.zeros(1, np.float32)
     lin("ligand_encoder.head.0", 128, 256)
     state["ligand_encoder.head.1.weight"] = np.ones(256, np.float32)
     state["ligand_encoder.head.1.bias"] = np.zeros(256, np.float32)
@@ -89,6 +91,8 @@ def _synth_sbdd_state(rng):
     lin("ligand_encoder.edge_layer", NUM_BOND_FEATURES, h)
     for i in range(4):
         lin(f"ligand_encoder.conv_list.{i}.nn.0", h, h)
+        lin(f"ligand_encoder.conv_list.{i}.lin", h, h)
+        state[f"ligand_encoder.conv_list.{i}.eps"] = np.zeros(1, np.float32)
     lin("ligand_encoder.head.0", h, h)
     ln("ligand_encoder.head.1", h)
     lin("ligand_encoder.readout_layer", 2 * h, h)
