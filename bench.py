@@ -191,11 +191,35 @@ def main():
     # sustained per-batch kernel cost: an unroll-1 baseline is relay-
     # dispatch-bound (~25 ms floor on this link) and subtracting it
     # overestimates throughput ~4x (measured t(k) = 2.4 + 8.9k ms, k>=4)
+    import os
+
     import jax.numpy as jnp
 
     from pharmaconet_tpu.scoring.batch_screen import score_blocks_device
 
-    args, (d1, d2) = screener.device_args(batch)
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    if engine == "pallas":
+        from pharmaconet_tpu.ops.screen_pallas import score_blocks_pallas
+
+        tiled = screener.device_args_pallas(batch)
+        d1, d2 = tiled.depth1, tiled.depth2
+        args = tuple(
+            jnp.asarray(a)
+            for a in (
+                tiled.pos_blocks, tiled.uv_packed, tiled.muT, tiled.invT,
+                tiled.winvT, tiled.flags_block, tiled.flags_pair,
+                tiled.end_mn_inv, tiled.end_mn_half, tiled.end_fail_gate,
+                tiled.thr_ns, tiled.self_ns,
+            )
+        )
+
+        def run_one(a):
+            return score_blocks_pallas(*a, depth1=d1, depth2=d2)
+    else:
+        args, (d1, d2) = screener.device_args(batch)
+
+        def run_one(a):
+            return score_blocks_device(*a, depth1=d1, depth2=d2)
 
     def make_unrolled(k):
         @jax.jit
@@ -203,7 +227,7 @@ def main():
             total = jnp.float32(0)
             for i in range(k):
                 perturbed = (args_tuple[0] + jnp.float32(i) * 1e-6,) + args_tuple[1:]
-                table = score_blocks_device(*perturbed, depth1=d1, depth2=d2)
+                table = run_one(perturbed)
                 total = total + table.sum()
             return total
         return f

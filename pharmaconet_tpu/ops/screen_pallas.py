@@ -1,0 +1,147 @@
+"""Pallas screening kernel: gather-free gaussian phase.
+
+The XLA screening kernel (scoring/batch_screen.score_blocks_device) spends
+~5.8 of 7.2 ms/batch in ONE gather — d_table[sub_slot], [NS] 16-byte rows at
+~1 element/cycle (PERF_NOTES.md). This kernel removes the gather entirely:
+
+  * each TILE-row chunk carries a tiny per-tile node-position table
+    ([3C, NODE_CAP], built by scoring/screen_tiles.py)
+  * node positions are selected with one-hot matmuls on the MXU
+    (Precision.HIGHEST — one-hot selection of f32 values is exact; default
+    bf16 passes would round the coordinates, the same catastrophic-
+    cancellation trap the voxelizer documents)
+  * conformer distances, the Gaussian likelihood terms, and the P-axis
+    reduction all happen in VMEM registers; the only HBM traffic is the
+    streaming read of the gaussian tables and the [2C, NS] result write.
+
+The bounded segmented scans + fail logic stay in XLA (measured ~0.3 ms per
+pass) inside the same jitted program; scan segments never cross padding
+because the tiled layout only pads at ligand boundaries.
+
+Measured on v5e-1 (2048-ligand batch, NS~1.07M): XLA kernel 7.03 ms -> this
+pipeline ~2 ms (see PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scoring.screen_tiles import NODE_CAP, TILE
+
+BLOCK_P = 8  # model-node pairs per sub-block (matches batch_screen.BLOCK_P)
+
+
+def _gauss_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, out_ref,
+                  *, c: int, tile: int, cap: int):
+    packed = uv_ref[0, :]
+    u = packed // cap
+    v = packed % cap
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 0)
+    oh_u = (iota == u[None, :]).astype(jnp.float32)
+    oh_v = (iota == v[None, :]).astype(jnp.float32)
+    pos = pos_ref[0]  # [3c, cap]
+    pu = jnp.dot(pos, oh_u, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [3c, tile]
+    pv = jnp.dot(pos, oh_v, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    dvec = pu - pv
+    d2 = jnp.sum((dvec * dvec).reshape(c, 3, tile), axis=1)  # [c, tile]
+    dt = jnp.sqrt(d2)
+    scores = jnp.zeros((c, tile), jnp.float32)
+    npass = jnp.zeros((c, tile), jnp.float32)
+    for p in range(BLOCK_P):
+        x = (dt - mu_ref[p, :][None, :]) * inv_ref[p, :][None, :]
+        x2 = x * x
+        w = winv_ref[p, :][None, :]
+        valid = w > 0.0
+        scores = scores + jnp.where(valid, w * jnp.exp(-0.5 * x2), 0.0)
+        npass = npass + jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+    out_ref[0:c, :] = scores
+    out_ref[c : 2 * c, :] = npass
+
+
+def gaussian_phase_pallas(
+    pos_blocks: jax.Array,  # [T, 3C, cap]
+    uv_packed: jax.Array,  # [1, NS]
+    muT: jax.Array,  # [P, NS]
+    invT: jax.Array,
+    winvT: jax.Array,
+    tile: int = TILE,
+    cap: int = NODE_CAP,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns stacked [2C, NS]: rows [0,C) sub_scores, [C,2C) sub_pass."""
+    t, threec, _ = pos_blocks.shape
+    c = threec // 3
+    ns = muT.shape[1]
+    assert ns == t * tile, (ns, t, tile)
+    kernel = functools.partial(_gauss_kernel, c=c, tile=tile, cap=cap)
+    grid_spec = pl.GridSpec(
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, threec, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_P, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_P, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_P, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * c, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2 * c, ns), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pos_blocks, uv_packed, muT, invT, winvT)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
+)
+def score_blocks_pallas(
+    pos_blocks: jax.Array,
+    uv_packed: jax.Array,
+    muT: jax.Array,
+    invT: jax.Array,
+    winvT: jax.Array,
+    flags_block: jax.Array,
+    flags_pair: jax.Array,
+    end_mn_inv: jax.Array,
+    end_mn_half: jax.Array,
+    end_fail_gate: jax.Array,
+    thr_ns: jax.Array,
+    self_ns: jax.Array,
+    depth1: int,
+    depth2: int,
+    tile: int = TILE,
+    cap: int = NODE_CAP,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full screening table program: pallas gaussian phase + XLA bounded
+    scans + fail logic. Returns the expanded [C, NS] table (same contract
+    as batch_screen.score_blocks_device: per-pair scores at pair-end rows,
+    host compacts)."""
+    from ..scoring.batch_screen import _bounded_segmented_scan
+
+    c = pos_blocks.shape[1] // 3
+    sp = gaussian_phase_pallas(
+        pos_blocks, uv_packed, muT, invT, winvT, tile=tile, cap=cap,
+        interpret=interpret,
+    )
+    sub_scores = sp[0:c]
+    sub_pass = sp[c : 2 * c]
+    scan_s = _bounded_segmented_scan(sub_scores, flags_block, depth1)
+    scan_p = _bounded_segmented_scan(sub_pass, flags_block, depth1)
+    block_score_ns = scan_s * end_mn_inv[None, :]
+    block_fail_ns = jnp.where(
+        (scan_p < end_mn_half[None, :]), end_fail_gate[None, :], 0.0
+    )
+    pair_score_ns = _bounded_segmented_scan(block_score_ns, flags_pair, depth2)
+    pair_fail_ns = _bounded_segmented_scan(block_fail_ns, flags_pair, depth2)
+    failed = pair_fail_ns > thr_ns[None, :]
+    return jnp.where(failed & (~self_ns[None, :]), -1.0, pair_score_ns)

@@ -154,6 +154,19 @@ class PackedLigand:
     @classmethod
     def from_ligand(cls, ligand: Ligand) -> "PackedLigand":
         graph = ligand.graph
+        if not graph.nodes:
+            # featureless ligand: scores 0 (graph_match.py:95-99); packed as
+            # an empty graph so batch assembly can skip it uniformly
+            c = max(graph.num_conformers, 1)
+            return cls(
+                node_pos=np.zeros((0, c, 3), np.float32),
+                node_mask=np.zeros(0, np.int32),
+                clusters=[],
+                cluster_mask=np.zeros(0, np.int32),
+                cluster_center=np.zeros((0, c, 3), np.float32),
+                cluster_size=np.zeros((0, c), np.float32),
+                num_conformers=c,
+            )
         node_pos = np.stack([node.positions for node in graph.nodes], axis=0).astype(
             np.float32
         )  # [Ln, C, 3]
@@ -651,6 +664,14 @@ def compact_pair_table(batch: ScreenBatch, expanded: np.ndarray) -> np.ndarray:
     return table
 
 
+def compact_pair_table_tiled(expanded: np.ndarray, pair_end_rows: np.ndarray) -> np.ndarray:
+    """Gather per-pair scores [NP, C] from the tiled expanded output using
+    the layout's precomputed pair-end rows (empty pairs score 0)."""
+    table = expanded[:, np.clip(pair_end_rows, 0, None)].T.copy()
+    table[pair_end_rows < 0] = 0.0
+    return table
+
+
 def host_prune_mask(
     batch: ScreenBatch, model: PackedModel, native: bool | None = None
 ) -> np.ndarray:
@@ -774,10 +795,30 @@ def _bucket_up(n: int, minimum: int = 1024) -> int:
 
 
 class BatchScreener:
-    """Screens ligand batches against one pharmacophore model."""
+    """Screens ligand batches against one pharmacophore model.
 
-    def __init__(self, model, weights: dict[str, float] | None = None):
+    engine: 'pallas' (gather-free Pallas gaussian kernel, scoring/
+    screen_tiles.py + ops/screen_pallas.py), 'xla' (score_blocks_device),
+    or None = auto (pallas on TPU devices, xla elsewhere).
+    """
+
+    def __init__(
+        self,
+        model,
+        weights: dict[str, float] | None = None,
+        engine: str | None = None,
+        pallas_interpret: bool = False,
+    ):
         self.packed_model = PackedModel.from_model(model, weights)
+        self.engine = engine
+        self.pallas_interpret = pallas_interpret
+
+    def _resolve_engine(self) -> str:
+        if self.engine is not None:
+            return self.engine
+        dev = jax.devices()[0]
+        self.engine = "pallas" if dev.device_kind.startswith("TPU") else "xla"
+        return self.engine
 
     def score_ligands(self, ligands: list[Ligand]) -> list[float]:
         packed = [PackedLigand.from_ligand(lig) for lig in ligands]
@@ -790,8 +831,13 @@ class BatchScreener:
         if not live:
             return out
         batch = build_batch(self.packed_model, [p for _, p in live])
-        expanded = np.asarray(self.run_device(batch))  # [C, NS]
-        table = compact_pair_table(batch, expanded)
+        if self._resolve_engine() == "pallas":
+            tiled = self.device_args_pallas(batch)
+            expanded = np.asarray(self.run_device_pallas(tiled))
+            table = compact_pair_table_tiled(expanded, tiled.pair_end_rows)
+        else:
+            expanded = np.asarray(self.run_device(batch))  # [C, NS]
+            table = compact_pair_table(batch, expanded)
         # geometric prune (host, static per batch; graph_match.py:267)
         prune = host_prune_mask(batch, self.packed_model)
         table[: len(prune)][prune] = -1.0
@@ -799,6 +845,45 @@ class BatchScreener:
         for (i, _), s in zip(live, scores):
             out[i] = s
         return out
+
+    def device_args_pallas(self, batch: ScreenBatch, ns_tiled: int | None = None):
+        """Host prep for the Pallas engine: untiled lane-major prep
+        (without the unique-distance table) + the tiled re-layout."""
+        from .screen_tiles import TILE, build_tiled_layout
+
+        args, (d1, d2) = self.device_args(
+            batch, as_numpy=True, with_unique=False
+        )
+        if ns_tiled is None:
+            needed = len(batch.sub_d_idx) + len(batch.pair_threshold)  # upper-ish
+            ns_tiled = ((_bucket_up(max(needed, TILE)) + TILE - 1) // TILE) * TILE
+        try:
+            return build_tiled_layout(batch, args, (d1, d2), ns_tiled=ns_tiled)
+        except AssertionError:
+            # padding estimate too small for a pathological batch: let the
+            # layout choose its own (un-bucketed) length
+            return build_tiled_layout(batch, args, (d1, d2))
+
+    def run_device_pallas(self, tiled) -> jax.Array:
+        from ..ops.screen_pallas import score_blocks_pallas
+
+        return score_blocks_pallas(
+            jnp.asarray(tiled.pos_blocks),
+            jnp.asarray(tiled.uv_packed),
+            jnp.asarray(tiled.muT),
+            jnp.asarray(tiled.invT),
+            jnp.asarray(tiled.winvT),
+            jnp.asarray(tiled.flags_block),
+            jnp.asarray(tiled.flags_pair),
+            jnp.asarray(tiled.end_mn_inv),
+            jnp.asarray(tiled.end_mn_half),
+            jnp.asarray(tiled.end_fail_gate),
+            jnp.asarray(tiled.thr_ns),
+            jnp.asarray(tiled.self_ns),
+            depth1=tiled.depth1,
+            depth2=tiled.depth2,
+            interpret=self.pallas_interpret,
+        )
 
     def device_args(
         self,
@@ -810,6 +895,8 @@ class BatchScreener:
         depth1: int | None = None,
         depth2: int | None = None,
         native: bool | None = None,
+        as_numpy: bool = False,
+        with_unique: bool = True,
     ) -> tuple[tuple, tuple[int, int]]:
         """Host prep + device transfer (reusable across calls).
 
@@ -827,12 +914,18 @@ class BatchScreener:
         nb = len(batch.block_mn)
         del np_pad  # pair-level arrays live in the expanded NS domain
 
-        pair_u, pair_v, sub_slot = unique_distance_table(batch)
-        if nu_pad is not None:
-            assert nu_pad >= len(pair_u)
-            pair_u = np.pad(pair_u, (0, nu_pad - len(pair_u)))
-            pair_v = np.pad(pair_v, (0, nu_pad - len(pair_v)))
-        sub_slot = np.pad(sub_slot, (0, ns - ns_real))
+        if with_unique:
+            pair_u, pair_v, sub_slot = unique_distance_table(batch)
+            if nu_pad is not None:
+                assert nu_pad >= len(pair_u)
+                pair_u = np.pad(pair_u, (0, nu_pad - len(pair_u)))
+                pair_v = np.pad(pair_v, (0, nu_pad - len(pair_v)))
+            sub_slot = np.pad(sub_slot, (0, ns - ns_real))
+        else:
+            # the pallas engine reconstructs distances from per-tile node
+            # tables — skip the np.unique pass entirely
+            pair_u = pair_v = np.zeros(1, np.int32)
+            sub_slot = np.zeros(ns, np.int32)
 
         prep = None
         if native is not False:
@@ -924,21 +1017,12 @@ class BatchScreener:
             )
 
         args = (
-            jnp.asarray(node_pos),
-            jnp.asarray(muT),
-            jnp.asarray(invT),
-            jnp.asarray(winvT),
-            jnp.asarray(pair_u),
-            jnp.asarray(pair_v),
-            jnp.asarray(sub_slot),
-            jnp.asarray(flags_block),
-            jnp.asarray(flags_pair),
-            jnp.asarray(end_mn_inv),
-            jnp.asarray(end_mn_half),
-            jnp.asarray(end_fail_gate),
-            jnp.asarray(thr_ns),
-            jnp.asarray(self_ns),
+            node_pos, muT, invT, winvT, pair_u, pair_v, sub_slot,
+            flags_block, flags_pair, end_mn_inv, end_mn_half, end_fail_gate,
+            thr_ns, self_ns,
         )
+        if not as_numpy:
+            args = tuple(jnp.asarray(a) for a in args)
         return args, (d1, d2)
 
     def run_device(self, batch: ScreenBatch, prepared=None) -> jax.Array:
