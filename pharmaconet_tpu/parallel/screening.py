@@ -32,8 +32,10 @@ from .mesh import DATA_AXIS, data_mesh
 class ShardedScreener(BatchScreener):
     """BatchScreener that fans ligand shards over a device mesh."""
 
-    def __init__(self, model, weights=None, mesh=None):
-        super().__init__(model, weights)
+    def __init__(self, model, weights=None, mesh=None, engine=None,
+                 pallas_interpret=False):
+        super().__init__(model, weights, engine=engine,
+                         pallas_interpret=pallas_interpret)
         self.mesh = mesh if mesh is not None else data_mesh()
 
     def score_packed(self, packed: list[PackedLigand]) -> list[float]:
@@ -58,6 +60,8 @@ class ShardedScreener(BatchScreener):
             build_batch(self.packed_model, s, ln=ln, cmax=cmax, lmax=lmax)
             for s in shards
         ]
+        if self._resolve_engine() == "pallas":
+            return self._score_shards_pallas(live, batches, out)
         ns_pad = _bucket_up(max(len(b.sub_d_idx) for b in batches), minimum=1024)
         nu_pad = _bucket_up(
             max(len(unique_distance_table(b)[0]) for b in batches), minimum=256
@@ -101,6 +105,61 @@ class ShardedScreener(BatchScreener):
         scores: list[float] = []
         for shard_idx, batch in enumerate(batches):
             table = compact_pair_table(batch, tables[shard_idx])
+            prune = host_prune_mask(batch, self.packed_model)
+            table[: len(prune)][prune] = -1.0
+            scores.extend(_dfs_scores(batch, table))
+        for (i, _), s in zip(live, scores):
+            out[i] = s
+        return out
+
+    def _score_shards_pallas(self, live, batches, out) -> list[float]:
+        """Pallas engine fan-out: per-shard tiled layouts padded to a common
+        width, one shard_map program over score_blocks_pallas."""
+        from ..ops.screen_pallas import score_blocks_pallas
+        from ..scoring.batch_screen import compact_pair_table_tiled
+        from ..scoring.screen_tiles import pad_tiled
+
+        tileds = [self.device_args_pallas(b, ns_tiled=None) for b in batches]
+        nst = max(t.muT.shape[1] for t in tileds)
+        tileds = [pad_tiled(t, nst) for t in tileds]
+        d1 = max(t.depth1 for t in tileds)
+        d2 = max(t.depth2 for t in tileds)
+
+        fields = (
+            "pos_blocks", "uv_packed", "muT", "invT", "winvT", "flags_block",
+            "flags_pair", "end_mn_inv", "end_mn_half", "end_fail_gate",
+            "thr_ns", "self_ns",
+        )
+        stacked = [
+            jnp.asarray(np.stack([getattr(t, f) for t in tileds]))
+            for f in fields
+        ]
+        interpret = self.pallas_interpret
+
+        @jax.jit
+        def sharded_score(*args):
+            def per_shard(*shard_args):
+                return score_blocks_pallas(
+                    *[a[0] for a in shard_args],
+                    depth1=d1, depth2=d2, interpret=interpret,
+                )[None]
+
+            return jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS),) * len(args),
+                out_specs=P(DATA_AXIS),
+                # pallas_call out_shapes carry no vma annotation; the map is
+                # embarrassingly parallel so the check adds nothing here
+                check_vma=False,
+            )(*args)
+
+        tables = np.asarray(sharded_score(*stacked))  # [n_dev, C, NST]
+        scores: list[float] = []
+        for shard_idx, batch in enumerate(batches):
+            table = compact_pair_table_tiled(
+                tables[shard_idx], tileds[shard_idx].pair_end_rows
+            )
             prune = host_prune_mask(batch, self.packed_model)
             table[: len(prune)][prune] = -1.0
             scores.extend(_dfs_scores(batch, table))

@@ -849,20 +849,17 @@ class BatchScreener:
     def device_args_pallas(self, batch: ScreenBatch, ns_tiled: int | None = None):
         """Host prep for the Pallas engine: untiled lane-major prep
         (without the unique-distance table) + the tiled re-layout."""
-        from .screen_tiles import TILE, build_tiled_layout
+        from .screen_tiles import TILE, build_tiled_layout, pad_tiled
 
         args, (d1, d2) = self.device_args(
             batch, as_numpy=True, with_unique=False
         )
+        tiled = build_tiled_layout(batch, args, (d1, d2), ns_tiled=ns_tiled)
         if ns_tiled is None:
-            needed = len(batch.sub_d_idx) + len(batch.pair_threshold)  # upper-ish
-            ns_tiled = ((_bucket_up(max(needed, TILE)) + TILE - 1) // TILE) * TILE
-        try:
-            return build_tiled_layout(batch, args, (d1, d2), ns_tiled=ns_tiled)
-        except AssertionError:
-            # padding estimate too small for a pathological batch: let the
-            # layout choose its own (un-bucketed) length
-            return build_tiled_layout(batch, args, (d1, d2))
+            # half-octave bucket (recompile bound) rounded to the tile grid
+            nst = ((_bucket_up(tiled.muT.shape[1]) + TILE - 1) // TILE) * TILE
+            tiled = pad_tiled(tiled, nst)
+        return tiled
 
     def run_device_pallas(self, tiled) -> jax.Array:
         from ..ops.screen_pallas import score_blocks_pallas

@@ -192,6 +192,48 @@ def build_tiled_layout(
     )
 
 
+def pad_tiled(t: TiledScreenArgs, nst: int, tile: int = TILE,
+              node_cap: int = NODE_CAP) -> TiledScreenArgs:
+    """Append neutral tiles so the layout reaches width nst (for multi-shard
+    batches that must share shapes)."""
+    cur = t.muT.shape[1]
+    if cur == nst:
+        return t
+    assert nst > cur and nst % tile == 0
+    extra = nst - cur
+    extra_tiles = extra // tile
+
+    def pad1(a, value, dtype=None):
+        return np.concatenate(
+            [a, np.full(extra, value, dtype=dtype or a.dtype)]
+        )
+
+    def pad_rows(a, value):
+        return np.concatenate(
+            [a, np.full((a.shape[0], extra), value, dtype=a.dtype)], axis=1
+        )
+
+    return TiledScreenArgs(
+        pos_blocks=np.concatenate(
+            [t.pos_blocks,
+             np.zeros((extra_tiles, *t.pos_blocks.shape[1:]), np.float32)]
+        ),
+        uv_packed=pad_rows(t.uv_packed, 0),
+        muT=pad_rows(t.muT, 0.0),
+        invT=pad_rows(t.invT, 1.0),
+        winvT=pad_rows(t.winvT, 0.0),
+        flags_block=pad1(t.flags_block, True),
+        flags_pair=pad1(t.flags_pair, True),
+        end_mn_inv=pad1(t.end_mn_inv, 0.0),
+        end_mn_half=pad1(t.end_mn_half, 0.0),
+        end_fail_gate=pad1(t.end_fail_gate, 0.0),
+        thr_ns=pad1(t.thr_ns, np.inf),
+        self_ns=pad1(t.self_ns, True),
+        pair_end_rows=t.pair_end_rows,
+        depth1=t.depth1, depth2=t.depth2,
+    )
+
+
 def _empty_layout(node_pos, p, c, nst, tile, node_cap, d1, d2, np_real):
     num_tiles = nst // tile
     return TiledScreenArgs(

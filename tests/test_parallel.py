@@ -110,3 +110,21 @@ def test_sharded_modeler_run_batch(protein_pdb, ref_ligand_pdb):
     assert all(isinstance(m, PharmacophoreModel) for m in models)
     # identical jobs -> identical graphs
     assert len(models[0].nodes) == len(models[1].nodes) == len(models[2].nodes)
+
+
+def test_sharded_screener_pallas_engine(rich_model=None):
+    """Pallas engine under shard_map on the 8-device CPU mesh (interpret)."""
+    import numpy as np
+
+    from bench import make_synthetic_ligands, make_synthetic_model
+    from pharmaconet_tpu.parallel.screening import ShardedScreener
+    from pharmaconet_tpu.scoring.batch_screen import BatchScreener
+
+    model = make_synthetic_model(num_clusters=10, seed=3)
+    packed = make_synthetic_ligands(48, seed=4)
+    ref = BatchScreener(model, engine="xla").score_packed(packed)
+    sharded = ShardedScreener(
+        model, engine="pallas", pallas_interpret=True
+    ).score_packed(packed)
+    np.testing.assert_allclose(sharded, ref, rtol=2e-5, atol=1e-6)
+    assert max(ref) > 0.0
