@@ -94,13 +94,20 @@ class PharmacoNet:
         grid_dim: int = C.GRID_DIM,
         model_kwargs: dict | None = None,
         matmul_precision: str = "float32",
+        voxelizer: str = "xla",
         _random_init_seed: int | None = None,
     ):
         """matmul_precision: 'float32' pins full-precision matmuls/convs on
         TPU (required for the 1e-4 checkpoint-parity budget, SURVEY.md §7
         hard-part 1). Measured on v5e-1 (full arch, 64-cube, 128 hotspots):
         float32 1.54s, 'tensorfloat32' 0.89s (<=1e-4 relative feature error,
-        identical cavity/hotspot decisions), 'bfloat16' 0.41s."""
+        identical cavity/hotspot decisions), 'bfloat16' 0.41s.
+
+        voxelizer: 'xla' (ops/voxelize.py, default) or 'pallas'
+        (ops/voxelize_pallas.py fused kernel — equality with the XLA path is
+        enforced by tests/test_voxelize.py and was verified on real TPU)."""
+        assert voxelizer in ("xla", "pallas")
+        self.voxelizer = voxelizer
         self.matmul_precision = matmul_precision
         self.grid_dim = grid_dim
         self.model = build_model(image_size=grid_dim, **(model_kwargs or {}))
@@ -273,9 +280,17 @@ class PharmacoNet:
         with_segmentation: bool,
     ) -> dict[str, jax.Array]:
         # 1. voxelize (dual-radius single pass)
-        image, occupancy = voxelize(
-            atom_positions, atom_features, atom_valid, center, dim=self.grid_dim
-        )
+        if self.voxelizer == "pallas":
+            from .ops.voxelize_pallas import voxelize_pallas
+
+            image, occupancy = voxelize_pallas(
+                atom_positions, atom_features, atom_valid, center, dim=self.grid_dim,
+                interpret=not jax.devices()[0].device_kind.startswith("TPU"),
+            )
+        else:
+            image, occupancy = voxelize(
+                atom_positions, atom_features, atom_valid, center, dim=self.grid_dim
+            )
         protein_mask = ~occupancy  # True = empty space (parser.py:99)
 
         # 2. trunk + cavity + token heads

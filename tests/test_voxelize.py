@@ -84,3 +84,70 @@ def test_sum_aggregation():
     img1, _ = voxelize_numpy(one, feat1, center)
     img2, _ = voxelize_numpy(two, feat2, center)
     np.testing.assert_allclose(img2, 2 * img1, rtol=1e-6)
+
+
+def test_closed_form_gaussian_values():
+    """Exhaustive closed-form check: randomized atoms, every non-zero voxel
+    value equals sum_a exp(-d^2 / (2*(sigma*r)^2)) * feat[a] with truncation
+    at d > r (the molvoxel 0.2.0 'gaussian' semantics the reference
+    configures at parser.py:28,96-99). molvoxel itself is not installable in
+    this image, so the oracle is the kernel formula evaluated independently
+    in float64."""
+    import numpy as np
+
+    from pharmaconet_tpu import constants as C
+    from pharmaconet_tpu.ops.voxelize import voxelize
+
+    rng = np.random.default_rng(123)
+    dim, res = 16, C.GRID_RESOLUTION
+    num_atoms, channels = 37, 5
+    center = rng.uniform(-3, 3, 3).astype(np.float32)
+    span = res * (dim - 1) / 2
+    pos = (center + rng.uniform(-span - 1.0, span + 1.0, (num_atoms, 3))).astype(np.float32)
+    feats = rng.uniform(0.0, 1.0, (num_atoms, channels)).astype(np.float32)
+    valid = np.ones(num_atoms, bool)
+    valid[-5:] = False
+
+    img, occ = voxelize(pos, feats, valid, center, dim=dim)
+    img, occ = np.asarray(img), np.asarray(occ)
+
+    origin = center.astype(np.float64) - res * (dim - 1) / 2
+    grid = origin + np.stack(
+        np.meshgrid(*[np.arange(dim)] * 3, indexing="ij"), -1
+    ) * res
+    d = np.linalg.norm(grid[..., None, :] - pos[None, None, None].astype(np.float64), axis=-1)
+    sr = C.VOXELIZER_SIGMA * C.FEATURE_RADII
+    rbf = np.where(
+        (d <= C.FEATURE_RADII) & valid[None, None, None],
+        np.exp(-(d**2) / (2 * sr**2)),
+        0.0,
+    )
+    expected = rbf @ feats.astype(np.float64)
+    np.testing.assert_allclose(img, expected, atol=5e-6)
+    expected_occ = ((d <= C.MASK_RADII) & valid).any(-1)
+    assert (occ == expected_occ).all()
+    assert expected.max() > 0.5 and expected_occ.any()  # test exercises hits
+
+
+def test_module_pallas_voxelizer_end_to_end(protein_pdb, ref_ligand_pdb):
+    """PharmacoNet(voxelizer='pallas') produces the same hotspots as the
+    XLA voxelizer (interpret mode on CPU; real-TPU equality verified in
+    probes/probe_modeling.py)."""
+    import numpy as np
+
+    from pharmaconet_tpu.module import PharmacoNet
+
+    micro = dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=2,
+                 token_feature_dim=16)
+    kwargs = dict(weight_path=None, score_threshold=0.0, verbose=False,
+                  max_hotspots=8, segmentation_chunk=4, grid_dim=16,
+                  model_kwargs=micro)
+    xla = PharmacoNet(voxelizer="xla", **kwargs)
+    pal = PharmacoNet(voxelizer="pallas", **kwargs)
+    data = xla.parse(protein_pdb, ref_ligand_pdb)
+    infos_x = xla.create_density_maps(data)
+    infos_p = pal.create_density_maps(data)
+    assert len(infos_x) == len(infos_p)
+    for a, b in zip(infos_x, infos_p):
+        assert a["nci_type"] == b["nci_type"]
+        np.testing.assert_allclose(a["point_map"], b["point_map"], atol=1e-5)
