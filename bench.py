@@ -198,9 +198,16 @@ def main():
     from pharmaconet_tpu.scoring.batch_screen import score_blocks_device
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
-    if engine == "pallas":
-        from pharmaconet_tpu.ops.screen_pallas import score_blocks_pallas
+    if engine.startswith("pallas"):
+        from pharmaconet_tpu.ops.screen_pallas import (
+            score_blocks_pallas,
+            score_blocks_pallas_fused,
+        )
 
+        kernel = (
+            score_blocks_pallas if engine == "pallas-split"
+            else score_blocks_pallas_fused
+        )
         tiled = screener.device_args_pallas(batch)
         d1, d2 = tiled.depth1, tiled.depth2
         args = tuple(
@@ -214,7 +221,7 @@ def main():
         )
 
         def run_one(a):
-            return score_blocks_pallas(*a, depth1=d1, depth2=d2)
+            return kernel(*a, depth1=d1, depth2=d2)
     else:
         args, (d1, d2) = screener.device_args(batch)
 

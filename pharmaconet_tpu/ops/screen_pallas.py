@@ -100,6 +100,138 @@ def gaussian_phase_pallas(
     )(pos_blocks, uv_packed, muT, invT, winvT)
 
 
+def _scan_bounded_tile(val, seen, depth: int, lanes):
+    """Bounded segmented inclusive scan along the minor axis, in VMEM.
+
+    val [R, tile] f32, seen [1, tile] f32 (1.0 = segment start), lanes
+    [1, tile] i32 iota. Same recurrence as batch_screen._bounded_segmented_
+    scan, with pad-shifts realized as pltpu.roll + edge masks (segments
+    never cross tile edges — screen_tiles pair-aligns the layout)."""
+    shift = 1
+    for _ in range(depth):
+        can = (lanes >= shift).astype(jnp.float32)  # [1, tile]
+        val_s = pltpu.roll(val, shift, axis=1) * can
+        seen_s = jnp.maximum(pltpu.roll(seen, shift, axis=1) * can, 1.0 - can)
+        val = val + val_s * (1.0 - seen)
+        seen = jnp.maximum(seen, seen_s)
+        shift *= 2
+    return val
+
+
+def _fused_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, fb_ref, fp_ref,
+                  mninv_ref, mnhalf_ref, gate_ref, thr_ref, self_ref, out_ref,
+                  *, c: int, tile: int, cap: int, depth1: int, depth2: int):
+    """Gaussian phase + both bounded scans + fail logic, one VMEM pass.
+
+    The XLA scan phase re-streams ~8 [C, NS] arrays through HBM (~1.3 ms of
+    the 2.08 ms round-2 kernel); here every intermediate lives in VMEM and
+    the only HBM traffic is the input tables and the [C, tile] result."""
+    packed = uv_ref[0, :]
+    u = packed // cap
+    v = packed % cap
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 0)
+    oh_u = (iota == u[None, :]).astype(jnp.float32)
+    oh_v = (iota == v[None, :]).astype(jnp.float32)
+    pos = pos_ref[0]  # [3c, cap]
+    pu = jnp.dot(pos, oh_u, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [3c, tile]
+    pv = jnp.dot(pos, oh_v, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    dvec = pu - pv
+    d2 = jnp.sum((dvec * dvec).reshape(c, 3, tile), axis=1)  # [c, tile]
+    dt = jnp.sqrt(d2)
+    scores = jnp.zeros((c, tile), jnp.float32)
+    npass = jnp.zeros((c, tile), jnp.float32)
+    for p in range(BLOCK_P):
+        x = (dt - mu_ref[p, :][None, :]) * inv_ref[p, :][None, :]
+        x2 = x * x
+        w = winv_ref[p, :][None, :]
+        valid = w > 0.0
+        scores = scores + jnp.where(valid, w * jnp.exp(-0.5 * x2), 0.0)
+        npass = npass + jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    fb = fb_ref[0, :][None, :]  # [1, tile] f32 flags
+    fp = fp_ref[0, :][None, :]
+
+    # sub -> block (scores and pass counts share one stacked scan)
+    sb = _scan_bounded_tile(
+        jnp.concatenate([scores, npass], axis=0), fb, depth1, lanes
+    )
+    scan_s, scan_p = sb[:c], sb[c:]
+    mninv = mninv_ref[0, :][None, :]
+    mnhalf = mnhalf_ref[0, :][None, :]
+    gate = gate_ref[0, :][None, :]
+    block_score = scan_s * mninv
+    block_fail = jnp.where(scan_p < mnhalf, gate, 0.0)
+
+    # block -> pair
+    pb = _scan_bounded_tile(
+        jnp.concatenate([block_score, block_fail], axis=0), fp, depth2, lanes
+    )
+    pair_score, pair_fail = pb[:c], pb[c:]
+    failed = pair_fail > thr_ref[0, :][None, :]
+    not_self = self_ref[0, :][None, :] == 0.0
+    out_ref[:, :] = jnp.where(failed & not_self, -1.0, pair_score)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
+)
+def score_blocks_pallas_fused(
+    pos_blocks: jax.Array,
+    uv_packed: jax.Array,
+    muT: jax.Array,
+    invT: jax.Array,
+    winvT: jax.Array,
+    flags_block: jax.Array,
+    flags_pair: jax.Array,
+    end_mn_inv: jax.Array,
+    end_mn_half: jax.Array,
+    end_fail_gate: jax.Array,
+    thr_ns: jax.Array,
+    self_ns: jax.Array,
+    depth1: int,
+    depth2: int,
+    tile: int = TILE,
+    cap: int = NODE_CAP,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-kernel screening table program (same contract as
+    score_blocks_pallas). Requires the pair-aligned tiled layout."""
+    t, threec, _ = pos_blocks.shape
+    c = threec // 3
+    ns = muT.shape[1]
+    assert ns == t * tile, (ns, t, tile)
+    row = lambda a: a.astype(jnp.float32).reshape(1, ns)
+    kernel = functools.partial(
+        _fused_kernel, c=c, tile=tile, cap=cap, depth1=depth1, depth2=depth2
+    )
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, threec, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            row_spec,
+            pl.BlockSpec((BLOCK_P, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_P, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_P, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=pl.BlockSpec((c, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, ns), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        pos_blocks, uv_packed, muT, invT, winvT,
+        row(flags_block), row(flags_pair), row(end_mn_inv), row(end_mn_half),
+        row(end_fail_gate), row(thr_ns), row(self_ns),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
 )

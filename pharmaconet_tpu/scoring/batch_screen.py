@@ -808,10 +808,12 @@ class BatchScreener:
         weights: dict[str, float] | None = None,
         engine: str | None = None,
         pallas_interpret: bool = False,
+        pallas_fused: bool = True,
     ):
         self.packed_model = PackedModel.from_model(model, weights)
         self.engine = engine
         self.pallas_interpret = pallas_interpret
+        self.pallas_fused = pallas_fused
 
     def _resolve_engine(self) -> str:
         if self.engine is not None:
@@ -862,9 +864,10 @@ class BatchScreener:
         return tiled
 
     def run_device_pallas(self, tiled) -> jax.Array:
-        from ..ops.screen_pallas import score_blocks_pallas
+        from ..ops.screen_pallas import score_blocks_pallas, score_blocks_pallas_fused
 
-        return score_blocks_pallas(
+        fn = score_blocks_pallas_fused if self.pallas_fused else score_blocks_pallas
+        return fn(
             jnp.asarray(tiled.pos_blocks),
             jnp.asarray(tiled.uv_packed),
             jnp.asarray(tiled.muT),

@@ -13,10 +13,13 @@ This module builds that tiled layout on the host:
   * node ids (li*ln + u) are disjoint across ligands, so capacity tracking
     is per-ligand: when appending a ligand's rows would overflow the
     current tile's node budget, the tile is padded to its boundary and the
-    ligand starts a fresh tile. Mid-ligand tile WRAPS are free (row
-    contiguity — and hence the XLA segmented scans — is preserved; only
-    the node table resets), and padding is only ever inserted at ligand
-    boundaries, which are pair boundaries, so no scan segment is split.
+    ligand starts a fresh tile
+  * tiles are PAIR-ALIGNED: a pair whose row span would straddle a tile
+    boundary is padded to start on the boundary instead. Pair spans are
+    2^depth2 rows (a few), so alignment waste is ~spans/2 per tile
+    (<1%) — and it guarantees NO scan segment ever crosses a tile, which
+    lets the Pallas kernel run the bounded segmented scans entirely
+    in VMEM (ops/screen_pallas.score_blocks_pallas_fused)
   * all per-row kernel inputs (gaussian tables, scan flags, block/pair end
     annotations) are scattered into the tiled positions; gaps get neutral
     padding (own segments, zero weight, +inf thresholds).
@@ -92,8 +95,15 @@ def build_tiled_layout(
     cat = np.unique(np.concatenate([gu, gv]))
     nodes_per_lig = np.bincount(cat // ln, minlength=b)
 
-    # greedy ligand-granular tile assembly (tiny loop: one iter per ligand)
-    pad_before = np.zeros(b, dtype=np.int64)
+    np_real = len(batch.pair_threshold)
+    sub_pair = batch.block_pair[batch.sub_block].astype(np.int64)
+    counts_pair = np.bincount(sub_pair, minlength=np_real)[:np_real]
+    if counts_pair.max(initial=0) > tile:
+        raise ValueError("pair row span exceeds TILE (cannot pair-align)")
+
+    # greedy tile assembly: ligand-granular node budget + pair alignment.
+    # Loop count = #ligands + #tile crossings (~NS/TILE) — small.
+    pad_before_pair = np.zeros(np_real, dtype=np.int64)
     pos_cursor = 0  # row position in the tiled layout
     nodes_in_tile = 0
     for lig in range(b):
@@ -104,22 +114,46 @@ def build_tiled_layout(
             raise ValueError(
                 f"ligand {lig} references {n} nodes > NODE_CAP {node_cap}"
             )
+        p0, p1 = batch.pair_slices[lig]
+        spans = counts_pair[p0:p1]
+        nz = np.nonzero(spans)[0]
+        ends_rel = np.cumsum(spans)[nz]  # row end per nonempty pair
+        starts_rel = ends_rel - spans[nz]
         in_tile = pos_cursor % tile
         if in_tile and nodes_in_tile + n > node_cap:
             pad = tile - in_tile
-            pad_before[lig] = pad
+            pad_before_pair[p0 + nz[0]] += pad
             pos_cursor += pad
             nodes_in_tile = 0
-        pos_cursor += r
-        if (pos_cursor % tile) == 0 or (pos_cursor // tile) != ((pos_cursor - r) // tile):
+        start = pos_cursor
+        # pair-align every tile boundary the ligand's rows cross
+        acc = 0
+        next_b = (start // tile + 1) * tile
+        j = 0
+        while start + ends_rel[-1] + acc > next_b:
+            # first pair ending strictly past the boundary
+            k = j + int(
+                np.searchsorted(ends_rel[j:] + acc, next_b - start, side="right")
+            )
+            p_start = start + int(starts_rel[k]) + acc
+            if p_start < next_b:  # pair straddles: push it to the boundary
+                pad = next_b - p_start
+                pad_before_pair[p0 + nz[k]] += pad
+                acc += pad
+            j = k
+            next_b += tile
+        pos_cursor = start + int(ends_rel[-1]) + acc
+        if (pos_cursor % tile) == 0:
+            nodes_in_tile = 0
+        elif (pos_cursor // tile) != (start // tile):
             # crossed at least one boundary: the live budget is what the
             # ligand re-registers in its last tile (conservative: all of it)
-            nodes_in_tile = n if (pos_cursor % tile) else 0
+            nodes_in_tile = n
         else:
             nodes_in_tile += n
 
-    shift = np.cumsum(pad_before)  # [b] total padding before each ligand
-    new_pos = np.arange(ns_real, dtype=np.int64) + shift[li]
+    shift = np.cumsum(pad_before_pair)  # [NP] total padding before each pair
+    new_pos = np.arange(ns_real, dtype=np.int64) + shift[sub_pair]
     nst = ns_tiled or _round_up(int(new_pos[-1]) + 1, tile)
     assert nst >= int(new_pos[-1]) + 1
     num_tiles = nst // tile
@@ -171,14 +205,18 @@ def build_tiled_layout(
     t_thr = scatter1(thr_ns, np.inf)
     t_self = scatter1(self_ns, True, bool)
 
-    # --- pair end rows (tiled positions) ------------------------------------
-    np_real = len(batch.pair_threshold)
-    sub_pair = (
-        batch.block_pair[batch.sub_block] if ns_real else np.zeros(0, np.int32)
+    # pair alignment invariant: every real row on a tile boundary starts a
+    # pair (the fused Pallas kernel's in-VMEM scans depend on it)
+    on_boundary = (new_pos % tile) == 0
+    assert bool(flags_pair[:ns_real][on_boundary].all()), (
+        "tiled layout broke pair alignment"
     )
-    counts = np.bincount(sub_pair, minlength=np_real)[:np_real]
-    cum = np.cumsum(counts)
-    pair_end_rows = np.where(counts > 0, new_pos[np.clip(cum - 1, 0, None)], -1)
+
+    # --- pair end rows (tiled positions) ------------------------------------
+    cum = np.cumsum(counts_pair)
+    pair_end_rows = np.where(
+        counts_pair > 0, new_pos[np.clip(cum - 1, 0, None)], -1
+    )
 
     return TiledScreenArgs(
         pos_blocks=pos_blocks.astype(np.float32),

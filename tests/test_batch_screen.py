@@ -274,3 +274,28 @@ def test_tiled_layout_invariants(rich_model):
         pos_v = tiled.pos_blocks[tile_i, :, v_loc].reshape(c, 3)
         d = np.linalg.norm(pos_u - pos_v, axis=-1)
         assert np.isfinite(d).all()
+
+
+def test_pallas_fused_matches_split(rich_model):
+    """The single-kernel fused program (in-VMEM scans, default) and the
+    split program (pallas gaussian + XLA scans) agree exactly; the tiled
+    layout is pair-aligned so no scan segment crosses a tile boundary."""
+    from bench import make_synthetic_ligands
+    from pharmaconet_tpu.scoring.batch_screen import build_batch
+    from pharmaconet_tpu.scoring.screen_tiles import TILE
+
+    packed = make_synthetic_ligands(80, seed=11)
+    fused = BatchScreener(rich_model, engine="pallas", pallas_interpret=True)
+    split = BatchScreener(
+        rich_model, engine="pallas", pallas_interpret=True, pallas_fused=False
+    )
+    assert fused.pallas_fused and not split.pallas_fused
+    s_f = fused.score_packed(packed)
+    s_s = split.score_packed(packed)
+    np.testing.assert_allclose(s_f, s_s, rtol=2e-6, atol=1e-7)
+    assert max(s_f) > 0.0
+
+    # alignment invariant directly: every tile-boundary row starts a pair
+    batch = build_batch(fused.packed_model, packed)
+    tiled = fused.device_args_pallas(batch)
+    assert bool(tiled.flags_pair[::TILE].all())
