@@ -19,13 +19,14 @@ _DIR = Path(__file__).parent
 _state: dict[str, object] = {}
 
 
-def _load(name: str, src: str, lib: str):
+def _load(name: str, src: str, lib: str, extra_flags: tuple[str, ...] = ()):
     """Compile (if stale) and load a native library; None on failure."""
     if name in _state:
         return _state[name]
     src_path, lib_path = _DIR / src, _DIR / lib
     if not lib_path.exists() or lib_path.stat().st_mtime < src_path.stat().st_mtime:
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(src_path), "-o", str(lib_path)]
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *extra_flags,
+               str(src_path), "-o", str(lib_path)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except (subprocess.SubprocessError, FileNotFoundError) as e:
@@ -140,3 +141,33 @@ def get_match_dfs():
         ]
         lib.match_dfs._configured = True
     return lib.match_dfs
+
+
+def get_pack_tiled():
+    """Returns the ctypes pack_tiled symbol (fused tiled packer), or None."""
+    lib = _load("pack_tiled", "pack_tiled.cpp", "libpacktiled.so",
+                extra_flags=("-pthread",))
+    if lib is None:
+        return None
+    if not hasattr(lib.pack_tiled, "_configured"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.pack_tiled.restype = ctypes.c_int32
+        lib.pack_tiled.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,  # M, Mn
+            i32p, i32p, f32p, f32p, f32p,  # ct_offsets, ct_nodes, mu, std, weight
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # B, ln, cmax
+            i32p, i32p, i32p,  # lig_cluster_offsets, cluster_node_offsets, cluster_nodes
+            i32p, i32p,  # node_mask_offsets, node_masks
+            i32p, i32p,  # active_offsets, active
+            i32p, i32p,  # cand_offsets, cands
+            f32p,  # node_pos [B*ln, cmax*3]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # P, tile, cap, threads
+            ctypes.c_int64, ctypes.c_int64,  # t_alloc, cap_np
+            f32p, f32p, i32p, f32p,  # gtab, aux, uv, pos_blocks
+            f32p, i32p, i64p, i64p,  # pair_threshold, pair_meta, pair_end_rows, pair_slices
+            i64p,  # out [4]
+        ]
+        lib.pack_tiled._configured = True
+    return lib.pack_tiled

@@ -118,21 +118,21 @@ def _scan_bounded_tile(val, seen, depth: int, lanes):
     return val
 
 
-def _fused_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, fb_ref, fp_ref,
-                  mninv_ref, mnhalf_ref, gate_ref, thr_ref, self_ref, out_ref,
-                  *, c: int, tile: int, cap: int, depth1: int, depth2: int):
+def _fused_body(out_ref, pos, packed, mu, inv, winv, fb, fp, mninv, mnhalf,
+                gate, thr, selff,
+                *, c: int, tile: int, cap: int, depth1: int, depth2: int):
     """Gaussian phase + both bounded scans + fail logic, one VMEM pass.
 
     The XLA scan phase re-streams ~8 [C, NS] arrays through HBM (~1.3 ms of
     the 2.08 ms round-2 kernel); here every intermediate lives in VMEM and
-    the only HBM traffic is the input tables and the [C, tile] result."""
-    packed = uv_ref[0, :]
+    the only HBM traffic is the input tables and the [C, tile] result.
+    All inputs are VALUES (loaded from refs by the kernel wrappers): mu/
+    inv/winv [P, tile], the flag/annotation rows [1, tile] f32."""
     u = packed // cap
     v = packed % cap
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 0)
     oh_u = (iota == u[None, :]).astype(jnp.float32)
     oh_v = (iota == v[None, :]).astype(jnp.float32)
-    pos = pos_ref[0]  # [3c, cap]
     pu = jnp.dot(pos, oh_u, preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)  # [3c, tile]
     pv = jnp.dot(pos, oh_v, preferred_element_type=jnp.float32,
@@ -143,25 +143,20 @@ def _fused_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, fb_ref, fp_ref,
     scores = jnp.zeros((c, tile), jnp.float32)
     npass = jnp.zeros((c, tile), jnp.float32)
     for p in range(BLOCK_P):
-        x = (dt - mu_ref[p, :][None, :]) * inv_ref[p, :][None, :]
+        x = (dt - mu[p : p + 1, :]) * inv[p : p + 1, :]
         x2 = x * x
-        w = winv_ref[p, :][None, :]
+        w = winv[p : p + 1, :]
         valid = w > 0.0
         scores = scores + jnp.where(valid, w * jnp.exp(-0.5 * x2), 0.0)
         npass = npass + jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    fb = fb_ref[0, :][None, :]  # [1, tile] f32 flags
-    fp = fp_ref[0, :][None, :]
 
     # sub -> block (scores and pass counts share one stacked scan)
     sb = _scan_bounded_tile(
         jnp.concatenate([scores, npass], axis=0), fb, depth1, lanes
     )
     scan_s, scan_p = sb[:c], sb[c:]
-    mninv = mninv_ref[0, :][None, :]
-    mnhalf = mnhalf_ref[0, :][None, :]
-    gate = gate_ref[0, :][None, :]
     block_score = scan_s * mninv
     block_fail = jnp.where(scan_p < mnhalf, gate, 0.0)
 
@@ -170,9 +165,83 @@ def _fused_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, fb_ref, fp_ref,
         jnp.concatenate([block_score, block_fail], axis=0), fp, depth2, lanes
     )
     pair_score, pair_fail = pb[:c], pb[c:]
-    failed = pair_fail > thr_ref[0, :][None, :]
-    not_self = self_ref[0, :][None, :] == 0.0
+    failed = pair_fail > thr
+    not_self = selff == 0.0
     out_ref[:, :] = jnp.where(failed & not_self, -1.0, pair_score)
+
+
+def _fused_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, fb_ref, fp_ref,
+                  mninv_ref, mnhalf_ref, gate_ref, thr_ref, self_ref, out_ref,
+                  *, c: int, tile: int, cap: int, depth1: int, depth2: int):
+    _fused_body(
+        out_ref, pos_ref[0], uv_ref[0, :],
+        mu_ref[:, :], inv_ref[:, :], winv_ref[:, :],
+        fb_ref[0, :][None, :], fp_ref[0, :][None, :],
+        mninv_ref[0, :][None, :], mnhalf_ref[0, :][None, :],
+        gate_ref[0, :][None, :], thr_ref[0, :][None, :],
+        self_ref[0, :][None, :],
+        c=c, tile=tile, cap=cap, depth1=depth1, depth2=depth2,
+    )
+
+
+def _fused_kernel_v2(pos_ref, uv_ref, g_ref, aux_ref, out_ref,
+                     *, c: int, tile: int, cap: int, depth1: int, depth2: int):
+    """Tile-major variant of _fused_kernel: one gaussian-table block
+    [3, P, tile] and one aux block [7, tile] per tile (the layout
+    scoring/tiled_pack.py + native/pack_tiled.cpp emit directly).
+    Blocks are loaded as values and sliced as values — Mosaic rejects
+    width-1 sublane slices of VMEM refs but handles value slices."""
+    g = g_ref[0]  # [3, P, tile]
+    a = aux_ref[0]  # [7, tile]
+    _fused_body(
+        out_ref, pos_ref[0], uv_ref[0, 0, :],
+        g[0], g[1], g[2],
+        a[0:1, :], a[1:2, :], a[2:3, :], a[3:4, :], a[4:5, :], a[5:6, :],
+        a[6:7, :],
+        c=c, tile=tile, cap=cap, depth1=depth1, depth2=depth2,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
+)
+def score_tiles_fused(
+    pos_blocks: jax.Array,  # [T, 3C, cap]
+    uv: jax.Array,  # [T, tile] i32
+    gtab: jax.Array,  # [T, 3, P, tile]
+    aux: jax.Array,  # [T, 7, tile]
+    depth1: int,
+    depth2: int,
+    tile: int = TILE,
+    cap: int = NODE_CAP,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused screening program over the tile-major layout. Returns the
+    expanded [C, NST] table (same contract as score_blocks_pallas)."""
+    t, threec, _ = pos_blocks.shape
+    c = threec // 3
+    ns = t * tile
+    kernel = functools.partial(
+        _fused_kernel_v2, c=c, tile=tile, cap=cap, depth1=depth1, depth2=depth2
+    )
+    grid_spec = pl.GridSpec(
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, threec, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # [T, 1, tile] view: a (1, 1, tile) block satisfies the Mosaic
+            # tiling rule (second-minor block dim equals the array dim)
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, BLOCK_P, tile), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, ns), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pos_blocks, uv.reshape(t, 1, tile), gtab, aux)
 
 
 @functools.partial(

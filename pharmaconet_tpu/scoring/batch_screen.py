@@ -438,24 +438,38 @@ def _ligand_arrays(ligands, ln, cmax, lmax):
     return node_pos, num_conf, lig_center, lig_size
 
 
-def _build_batch_native(
+@dataclass
+class FlatLigands:
+    """Flattened ligand metadata shared by the native packers."""
+
+    ln: int
+    cmax: int
+    lmax: int
+    lig_cluster_offsets: np.ndarray
+    member_offsets: np.ndarray  # [C_total + 1]
+    members: np.ndarray
+    node_mask_offsets: np.ndarray
+    node_masks_flat: np.ndarray
+    active_offsets: np.ndarray
+    active_flat: np.ndarray
+    cand_offsets: np.ndarray  # [C_total + 1]
+    cands_flat: np.ndarray
+    candidates_all: list
+    cluster_counts: list[int]
+
+
+def _flatten_ligands(
     model: PackedModel,
     ligands: list[PackedLigand],
     ln: int | None = None,
     cmax: int | None = None,
     lmax: int | None = None,
-) -> ScreenBatch:
-    """C++ block emission; produces arrays identical to the Python path."""
-    from ..native import get_block_packer
-
-    fn = get_block_packer()
-    assert fn is not None
+) -> FlatLigands:
+    num_ligands = len(ligands)
     ln = ln or max(p.node_pos.shape[0] for p in ligands)
     cmax = cmax or max(p.num_conformers for p in ligands)
     lmax = lmax or max(len(p.clusters) for p in ligands)
-    num_ligands = len(ligands)
 
-    # flatten ligand metadata
     lig_cluster_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
     node_mask_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
     active_offsets = np.zeros(num_ligands + 1, dtype=np.int32)
@@ -499,14 +513,52 @@ def _build_batch_native(
         node_mask_offsets[li + 1] = node_mask_offsets[li] + len(lig.node_mask)
         active_offsets[li + 1] = len(active_list)
 
-    cands_flat = nz_cols
-    cand_offsets = row_offsets
+    member_offsets = (
+        np.concatenate([np.zeros(1, np.int32), *member_offset_arrays])
+        if member_offset_arrays else np.zeros(1, np.int32)
+    ).astype(np.int32)
+    return FlatLigands(
+        ln=ln, cmax=cmax, lmax=lmax,
+        lig_cluster_offsets=lig_cluster_offsets,
+        member_offsets=member_offsets,
+        members=np.concatenate(member_arrays).astype(np.int32)
+        if member_arrays else np.zeros(0, np.int32),
+        node_mask_offsets=node_mask_offsets,
+        node_masks_flat=np.concatenate(node_masks).astype(np.int32)
+        if node_masks else np.zeros(0, np.int32),
+        active_offsets=active_offsets,
+        active_flat=np.asarray(active_list, dtype=np.int32)
+        if active_list else np.zeros(0, np.int32),
+        cand_offsets=row_offsets.astype(np.int32),
+        cands_flat=nz_cols.astype(np.int32)
+        if len(nz_cols) else np.zeros(0, np.int32),
+        candidates_all=candidates_all,
+        cluster_counts=cluster_counts,
+    )
+
+
+def _build_batch_native(
+    model: PackedModel,
+    ligands: list[PackedLigand],
+    ln: int | None = None,
+    cmax: int | None = None,
+    lmax: int | None = None,
+) -> ScreenBatch:
+    """C++ block emission; produces arrays identical to the Python path."""
+    from ..native import get_block_packer
+
+    fn = get_block_packer()
+    assert fn is not None
+    num_ligands = len(ligands)
+    fl = _flatten_ligands(model, ligands, ln, cmax, lmax)
+    ln, cmax, lmax = fl.ln, fl.cmax, fl.lmax
+    candidates_all = fl.candidates_all
+    cluster_counts = fl.cluster_counts
 
     ct_offsets, ct_nodes = model.ct_tables()
     mu = np.ascontiguousarray(model.mu)
     std = np.ascontiguousarray(model.std)
     weight = np.ascontiguousarray(model.weight)
-    node_masks_flat = np.concatenate(node_masks).astype(np.int32) if node_masks else np.zeros(0, np.int32)
 
     cap_ns = max(4096, 2048 * num_ligands)
     cap_nb = cap_ns
@@ -528,15 +580,14 @@ def _build_batch_native(
             len(model.cluster_nodes), len(model.weight),
             ct_offsets, ct_nodes, mu, std, weight,
             num_ligands, ln,
-            lig_cluster_offsets,
-            np.concatenate([np.zeros(1, np.int32), *member_offset_arrays])
-            if member_offset_arrays else np.zeros(1, np.int32),
-            np.concatenate(member_arrays) if member_arrays else np.zeros(0, np.int32),
-            node_mask_offsets, node_masks_flat,
-            active_offsets,
-            np.asarray(active_list, dtype=np.int32) if active_list else np.zeros(0, np.int32),
-            cand_offsets.astype(np.int32),
-            cands_flat.astype(np.int32) if len(cands_flat) else np.zeros(0, np.int32),
+            fl.lig_cluster_offsets,
+            fl.member_offsets,
+            fl.members,
+            fl.node_mask_offsets, fl.node_masks_flat,
+            fl.active_offsets,
+            fl.active_flat,
+            fl.cand_offsets,
+            fl.cands_flat,
             BLOCK_P, cap_ns, cap_nb, cap_np,
             sub_mu, sub_std, sub_w, sub_d, sub_block,
             block_mn, block_pair, block_cross,
@@ -809,11 +860,16 @@ class BatchScreener:
         engine: str | None = None,
         pallas_interpret: bool = False,
         pallas_fused: bool = True,
+        native_pack: bool | None = None,
+        pack_threads: int = 1,
     ):
         self.packed_model = PackedModel.from_model(model, weights)
         self.engine = engine
         self.pallas_interpret = pallas_interpret
         self.pallas_fused = pallas_fused
+        self.native_pack = native_pack
+        self.pack_threads = pack_threads
+        self._rows_hint: float = 600.0  # running rows-per-ligand estimate
 
     def _resolve_engine(self) -> str:
         if self.engine is not None:
@@ -832,6 +888,18 @@ class BatchScreener:
         out = [0.0] * len(packed)
         if not live:
             return out
+        if (
+            self._resolve_engine() == "pallas"
+            and self.pallas_fused
+            and self.native_pack is not False
+        ):
+            scores = self._score_tiled_native([p for _, p in live])
+            if scores is not None:
+                for (i, _), s in zip(live, scores):
+                    out[i] = s
+                return out
+            if self.native_pack is True:
+                raise RuntimeError("native pack_tiled unavailable")
         batch = build_batch(self.packed_model, [p for _, p in live])
         if self._resolve_engine() == "pallas":
             tiled = self.device_args_pallas(batch)
@@ -847,6 +915,33 @@ class BatchScreener:
         for (i, _), s in zip(live, scores):
             out[i] = s
         return out
+
+    def _score_tiled_native(self, live: list[PackedLigand]) -> list[float] | None:
+        """Fast path: one-pass C++ pack straight to the tile-major layout +
+        the fused Pallas kernel. Returns None when the native packer is
+        unavailable (callers fall back to the reference path)."""
+        from ..ops.screen_pallas import score_tiles_fused
+        from .tiled_pack import build_tiled_batch
+
+        tb = build_tiled_batch(
+            self.packed_model, live, threads=self.pack_threads,
+            rows_hint=int(self._rows_hint * len(live)),
+        )
+        if tb is None:
+            return None
+        self._rows_hint = 0.7 * self._rows_hint + 0.3 * (tb.nst / max(1, len(live)))
+        expanded = np.asarray(
+            score_tiles_fused(
+                jnp.asarray(tb.pos_blocks), jnp.asarray(tb.uv),
+                jnp.asarray(tb.gtab), jnp.asarray(tb.aux),
+                depth1=tb.depth1, depth2=tb.depth2,
+                interpret=self.pallas_interpret,
+            )
+        )
+        table = compact_pair_table_tiled(expanded, tb.pair_end_rows)
+        prune = host_prune_mask(tb, self.packed_model)
+        table[: len(prune)][prune] = -1.0
+        return _dfs_scores(tb, table)
 
     def device_args_pallas(self, batch: ScreenBatch, ns_tiled: int | None = None):
         """Host prep for the Pallas engine: untiled lane-major prep

@@ -174,10 +174,13 @@ def build_tiled_layout(
 
     tile_nodes = np.zeros((num_tiles, node_cap), dtype=np.int64)
     tile_nodes[tile_of_key, slot_of_key] = uniq % span
+    tile_used = np.zeros((num_tiles, node_cap), dtype=bool)
+    tile_used[tile_of_key, slot_of_key] = True
 
-    # --- per-tile position tables ------------------------------------------
+    # --- per-tile position tables (unused slots zero) ------------------------
     pos_flat = np.ascontiguousarray(node_pos.reshape(b * ln, c * 3))
     pos_blocks = pos_flat[tile_nodes]  # [T, cap, 3c]
+    pos_blocks[~tile_used] = 0.0
     pos_blocks = np.ascontiguousarray(np.transpose(pos_blocks, (0, 2, 1)))
 
     # --- scatter per-row arrays into tiled positions ------------------------

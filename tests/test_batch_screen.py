@@ -299,3 +299,98 @@ def test_pallas_fused_matches_split(rich_model):
     batch = build_batch(fused.packed_model, packed)
     tiled = fused.device_args_pallas(batch)
     assert bool(tiled.flags_pair[::TILE].all())
+
+
+def _tiled_reference_arrays(screener, packed, width):
+    """Reference tiled layout (build_batch -> device_args_pallas) pinned to
+    a fixed padded width, reshaped into the tile-major v2 layout."""
+    from pharmaconet_tpu.scoring.batch_screen import build_batch
+    from pharmaconet_tpu.scoring.screen_tiles import TILE
+
+    batch = build_batch(screener.packed_model, packed)
+    tiled = screener.device_args_pallas(batch, ns_tiled=width)
+    t = width // TILE
+    p = tiled.muT.shape[0]
+
+    def v2_rows(a):  # [P, W] -> [T, P, tile]
+        return a.reshape(p, t, TILE).transpose(1, 0, 2)
+
+    gtab = np.stack(
+        [v2_rows(tiled.muT), v2_rows(tiled.invT), v2_rows(tiled.winvT)], axis=1
+    )
+    aux = np.stack(
+        [
+            tiled.flags_block.astype(np.float32).reshape(t, TILE),
+            tiled.flags_pair.astype(np.float32).reshape(t, TILE),
+            tiled.end_mn_inv.reshape(t, TILE),
+            tiled.end_mn_half.reshape(t, TILE),
+            tiled.end_fail_gate.reshape(t, TILE),
+            tiled.thr_ns.reshape(t, TILE),
+            tiled.self_ns.astype(np.float32).reshape(t, TILE),
+        ],
+        axis=1,
+    )
+    return batch, tiled, gtab, aux
+
+
+def test_native_tiled_pack_matches_reference_arrays(rich_model):
+    """The one-pass C++ packer emits element-identical device arrays to the
+    reference pipeline (build_batch -> prep -> screen_tiles scatter)."""
+    from bench import make_synthetic_ligands
+    from pharmaconet_tpu.native import get_pack_tiled
+    from pharmaconet_tpu.scoring.screen_tiles import TILE
+    from pharmaconet_tpu.scoring.tiled_pack import build_tiled_batch
+
+    if get_pack_tiled() is None:
+        pytest.skip("native pack_tiled unavailable")
+
+    screener = BatchScreener(rich_model, engine="pallas", pallas_interpret=True)
+    packed = make_synthetic_ligands(120, seed=13)
+    tb = build_tiled_batch(screener.packed_model, packed, threads=1)
+    width = tb.gtab.shape[0] * TILE
+    batch, tiled, gtab_ref, aux_ref = _tiled_reference_arrays(
+        screener, packed, width
+    )
+
+    np.testing.assert_array_equal(tb.gtab, gtab_ref)
+    np.testing.assert_array_equal(tb.aux, aux_ref)
+    np.testing.assert_array_equal(tb.uv.reshape(-1), tiled.uv_packed[0])
+    np.testing.assert_array_equal(tb.pos_blocks, tiled.pos_blocks)
+    np.testing.assert_array_equal(tb.pair_end_rows, tiled.pair_end_rows)
+    np.testing.assert_array_equal(tb.pair_threshold, batch.pair_threshold)
+    np.testing.assert_array_equal(tb.pair_meta, batch.pair_meta)
+    assert tb.pair_slices == batch.pair_slices
+    assert (tb.depth1, tb.depth2) == (tiled.depth1, tiled.depth2)
+
+
+def test_native_tiled_pack_threads_score_equal(rich_model, test_ligands):
+    """Multi-threaded native pack produces the same scores as the exact
+    host matcher (segments are tile-aligned, merge preserves semantics)."""
+    from bench import make_synthetic_ligands
+    from pharmaconet_tpu.native import get_pack_tiled
+
+    if get_pack_tiled() is None:
+        pytest.skip("native pack_tiled unavailable")
+
+    packed = make_synthetic_ligands(64, seed=17)
+    base = BatchScreener(
+        rich_model, engine="pallas", pallas_interpret=True, native_pack=False
+    )
+    expected = base.score_packed(packed)
+    for threads in (1, 3):
+        fast = BatchScreener(
+            rich_model, engine="pallas", pallas_interpret=True,
+            native_pack=True, pack_threads=threads,
+        )
+        got = fast.score_packed(packed)
+        np.testing.assert_allclose(got, expected, rtol=2e-6, atol=1e-7,
+                                   err_msg=f"threads={threads}")
+
+    # host-matcher ground truth on real molecules too
+    host = [GraphMatcher(rich_model, lig).run() for lig in test_ligands]
+    fast = BatchScreener(
+        rich_model, engine="pallas", pallas_interpret=True, native_pack=True
+    )
+    np.testing.assert_allclose(
+        fast.score_ligands(test_ligands), host, rtol=2e-5, atol=1e-6
+    )
