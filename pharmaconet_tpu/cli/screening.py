@@ -9,6 +9,7 @@ device batches (sharded over all local devices when more than one).
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 
@@ -27,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     cfg.add_argument("--batch_size", type=int, default=1024, help="ligands per device batch")
     cfg.add_argument("--cpus", type=int, default=1,
                      help="worker processes for ligand file parsing (scoring runs on device)")
+    cfg.add_argument("--pack_threads", type=int, default=0,
+                     help="host threads for the native batch packer "
+                          "(0 = one per CPU)")
 
     param = parser.add_argument_group("parameter")
     param.add_argument("--hydrophobic", type=float, default=1.0, help="weight for hydrophobic carbon")
@@ -57,10 +61,11 @@ def main(args) -> int:
         Halogen=args.halogen,
         Hydrophobic=args.hydrophobic,
     )
+    pack_threads = args.pack_threads or os.cpu_count() or 1
     if len(jax.devices()) > 1:
         screener = ShardedScreener(model, weights)
     else:
-        screener = BatchScreener(model, weights)
+        screener = BatchScreener(model, weights, pack_threads=pack_threads)
 
     results: list[tuple[str, float]] = []
 

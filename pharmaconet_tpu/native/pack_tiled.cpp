@@ -27,6 +27,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <thread>
@@ -76,32 +77,39 @@ inline void matched_nodes(const ModelTables& m, int32_t mask, int32_t cluster,
     }
 }
 
-// One thread's output segment (tile-aligned at both ends).
+// One thread's output segment (tile-aligned at both ends). Device-array
+// writes go straight into caller-provided memory (the final numpy arrays
+// for a single thread / the first thread, malloc'd staging for the rest)
+// with a fixed tile capacity — overflow sets rc=-1 and the Python caller
+// retries with a bigger allocation.
 struct SegBuf {
     int tile = 0, P = 0, cap = 0, threec = 0;
-    std::vector<float> gtab;   // [t][3][P][tile]
-    std::vector<float> aux;    // [t][7][tile]
-    std::vector<int32_t> uv;   // [t][tile]
-    std::vector<float> pos;    // [t][3c][cap]
+    float* gtab = nullptr;   // [cap_tiles][3][P][tile]
+    float* aux = nullptr;    // [cap_tiles][7][tile]
+    int32_t* uv = nullptr;   // [cap_tiles][tile]
+    float* pos = nullptr;    // [cap_tiles][3c][cap]
+    int64_t cap_tiles = 0;
     std::vector<float> pthr;
     std::vector<int32_t> pmeta;       // [np][6]
     std::vector<int64_t> pend;        // [np] segment-local row or -1
     std::vector<int64_t> pslices;     // [ligs][2] segment-local pair ids
     int64_t nst = 0;                  // rows used (tile-aligned when done)
     int64_t maxb = 1, maxp = 1;
-    int rc = 0;  // 0 ok, -3 semantic error (node cap / pair span)
+    int rc = 0;  // 0 ok, -1 tile overflow, -3 semantic error
 
     // current-tile scratch: global node id per row side (-1 = neutral)
     std::vector<int32_t> row_u, row_v;
     int64_t tile_base = 0;  // first row of the open tile
+    // O(1) per-row node registration: stamp[g] == tile_counter means g is
+    // already in the open tile's node list
+    std::vector<int32_t> stamp;
+    std::vector<int32_t> tile_nodes;
+    int32_t tile_counter = 0;
 
-    void ensure_tile(int64_t t_needed) {
-        const size_t t = (size_t)t_needed;
-        if (uv.size() < t * tile) {
-            gtab.resize(t * 3 * P * tile);
-            aux.resize(t * 7 * tile);
-            uv.resize(t * tile);
-            pos.resize(t * threec * cap);
+    inline void register_node(int32_t g) {
+        if (stamp[(size_t)g] != tile_counter) {
+            stamp[(size_t)g] = tile_counter;
+            tile_nodes.push_back(g);
         }
     }
 
@@ -129,15 +137,7 @@ struct SegBuf {
     void close_tile(const LigandBatch& lb) {
         const int64_t t = tile_base / tile;
         const int64_t rows = nst - tile_base;
-        std::vector<int32_t> nodes;
-        nodes.reserve(cap);
-        for (int64_t r = 0; r < rows; ++r) {
-            for (int32_t g : {row_u[r], row_v[r]}) {
-                if (g < 0) continue;
-                if (std::find(nodes.begin(), nodes.end(), g) == nodes.end())
-                    nodes.push_back(g);
-            }
-        }
+        std::vector<int32_t>& nodes = tile_nodes;  // registered at emit time
         if ((int)nodes.size() > cap) { rc = -3; return; }
         std::sort(nodes.begin(), nodes.end());
         int32_t* uv_row = &uv[t * tile];
@@ -157,16 +157,31 @@ struct SegBuf {
         tile_base += tile;
         std::fill(row_u.begin(), row_u.end(), -1);
         std::fill(row_v.begin(), row_v.end(), -1);
+        tile_nodes.clear();
+        ++tile_counter;
     }
 
     // pad (neutral rows) to the next tile boundary and close the tile
     void pad_to_boundary(const LigandBatch& lb) {
         const int64_t in_tile = nst % tile;
         if (in_tile == 0) return;
-        ensure_tile(nst / tile + 1);
         for (int64_t k = in_tile; k < tile; ++k) neutral_row(tile_base + k);
         nst = tile_base + tile;
         close_tile(lb);
+    }
+};
+
+// Flat matched-node arena for one ligand (reused across ligands): entry
+// e = (ligand node u, matched model nodes nodes[e_lo[e]..e_hi[e]));
+// matchlist (active cluster i, candidate j) = entries [ml_lo..ml_hi).
+struct MatchArena {
+    std::vector<int32_t> nodes;
+    std::vector<int32_t> e_u, e_lo, e_hi;
+    std::vector<int32_t> ml_lo, ml_hi;
+    std::vector<int32_t> ml_base;  // per active cluster: first ml slot
+    void clear() {
+        nodes.clear(); e_u.clear(); e_lo.clear(); e_hi.clear();
+        ml_lo.clear(); ml_hi.clear(); ml_base.clear();
     }
 };
 
@@ -174,8 +189,11 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
                 int cap, int32_t b0, int32_t b1, SegBuf& o) {
     o.row_u.assign(tile, -1);
     o.row_v.assign(tile, -1);
-    std::vector<int32_t> scratch;
+    o.stamp.assign((size_t)lb.B * (size_t)lb.ln, -1);
+    o.tile_nodes.reserve((size_t)cap + 8);
+    MatchArena ma;
     std::vector<char> marked;
+    std::vector<int64_t> spans;  // per emitted-order pair
     int64_t nodes_in_tile = 0;
 
     for (int32_t li = b0; li < b1 && o.rc == 0; ++li) {
@@ -187,171 +205,116 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
         const int32_t n_active = a_hi - a_lo;
 
         // matched model-node lists per (active cluster, candidate)
-        std::vector<std::vector<std::vector<std::pair<int32_t, std::vector<int32_t>>>>>
-            matchlists((size_t)n_active);
+        ma.clear();
         for (int32_t i = 0; i < n_active; ++i) {
             const int32_t l = lb.active[a_lo + i];
             const int32_t gc = clus_base + l;
             const int32_t c_lo = lb.cand_offsets[gc];
             const int32_t c_hi = lb.cand_offsets[gc + 1];
-            matchlists[i].resize((size_t)(c_hi - c_lo));
+            ma.ml_base.push_back((int32_t)ma.ml_lo.size());
             for (int32_t cj = c_lo; cj < c_hi; ++cj) {
-                auto& per_cand = matchlists[i][(size_t)(cj - c_lo)];
+                const int32_t mcluster = lb.cands[cj];
+                const int32_t ct_base = mcluster * NUM_TYPES;
+                ma.ml_lo.push_back((int32_t)ma.e_u.size());
                 const int32_t n_lo = lb.cluster_node_offsets[gc];
                 const int32_t n_hi = lb.cluster_node_offsets[gc + 1];
                 for (int32_t nk = n_lo; nk < n_hi; ++nk) {
                     const int32_t u = lb.cluster_nodes[nk];
-                    matched_nodes(m, lb.node_masks[node_base + u], lb.cands[cj], scratch);
-                    if (!scratch.empty()) per_cand.emplace_back(u, scratch);
-                }
-            }
-        }
-
-        // referenced-node count n + total rows r (for the layout decisions)
-        marked.assign((size_t)lb.ln, 0);
-        int64_t lig_rows = 0;
-        auto block_rows = [P](size_t a, size_t b) {
-            return (int64_t)((a * b + (size_t)P - 1) / (size_t)P);
-        };
-        for (int32_t i = 0; i < n_active; ++i) {
-            for (auto& mlist : matchlists[i]) {
-                if (mlist.size() >= 2) {
-                    for (auto& e : mlist) marked[(size_t)e.first] = 1;
-                    for (size_t a = 0; a < mlist.size(); ++a)
-                        for (size_t b = a + 1; b < mlist.size(); ++b)
-                            lig_rows += block_rows(mlist[a].second.size(), mlist[b].second.size());
-                }
-            }
-        }
-        for (int32_t i1 = 0; i1 < n_active; ++i1)
-            for (int32_t i2 = i1 + 1; i2 < n_active; ++i2)
-                for (auto& m1 : matchlists[i1])
-                    for (auto& m2 : matchlists[i2]) {
-                        if (m1.empty() || m2.empty()) continue;
-                        for (auto& e : m1) marked[(size_t)e.first] = 1;
-                        for (auto& e : m2) marked[(size_t)e.first] = 1;
-                        for (auto& eu : m1)
-                            for (auto& ev : m2)
-                                lig_rows += block_rows(eu.second.size(), ev.second.size());
-                    }
-        int64_t n_ref = 0;
-        for (char c : marked) n_ref += c;
-
-        // pair emission helpers ------------------------------------------
-        auto emit_pair_rows = [&](const std::vector<std::pair<int32_t, std::vector<int32_t>>>* m1,
-                                  const std::vector<std::pair<int32_t, std::vector<int32_t>>>* m2,
-                                  bool self_pair, float thr, int64_t span) {
-            // span == rows this pair will emit (precomputed); pair-align
-            if (span == 0) {
-                o.pend.push_back(-1);
-                return;
-            }
-            if (span > tile) { o.rc = -3; return; }
-            if ((o.nst % tile) + span > tile) o.pad_to_boundary(lb);
-            if (o.rc != 0) return;
-            const int64_t pair_start = o.nst;
-            const float selff = self_pair ? 1.f : 0.f;
-            const float gate = self_pair ? 0.f : 1.f;
-            bool first_row_of_pair = true;
-
-            auto emit_block = [&](int32_t u, int32_t v,
-                                  const std::vector<int32_t>& a_nodes,
-                                  const std::vector<int32_t>& b_nodes) {
-                const int64_t mn = (int64_t)a_nodes.size() * (int64_t)b_nodes.size();
-                const int64_t rows = (mn + P - 1) / P;
-                o.maxb = std::max(o.maxb, rows);
-                const int64_t g_u = (int64_t)li * lb.ln + u;
-                const int64_t g_v = (int64_t)li * lb.ln + v;
-                int64_t k = 0, row = -1;
-                float* grow = nullptr;  // row base in gtab (mu lane 0)
-                float* arow = nullptr;  // row base in aux
-                for (int32_t pn : a_nodes) {
-                    const float wp = m.weight[pn];
-                    const float* mu_row = m.mu + (int64_t)pn * m.Mn;
-                    const float* std_row = m.stdv + (int64_t)pn * m.Mn;
-                    for (int32_t qn : b_nodes) {
-                        const int lane = (int)(k % P);
-                        if (lane == 0) {
-                            row = o.nst++;
-                            const int64_t t = row / tile, off = row % tile;
-                            o.ensure_tile(t + 1);
-                            grow = &o.gtab[(t * 3 * P) * tile + off];
-                            arow = &o.aux[(t * 7) * tile + off];
-                            for (int p = 0; p < P; ++p) {
-                                grow[p * tile] = 0.f;
-                                grow[(P + p) * tile] = 1.f;
-                                grow[(2 * P + p) * tile] = 0.f;
-                            }
-                            arow[AUX_FB * tile] = (k == 0) ? 1.f : 0.f;
-                            arow[AUX_FP * tile] = first_row_of_pair ? 1.f : 0.f;
-                            first_row_of_pair = false;
-                            arow[AUX_MNINV * tile] = 0.f;
-                            arow[AUX_MNHALF * tile] = 0.f;
-                            arow[AUX_GATE * tile] = 0.f;
-                            arow[AUX_THR * tile] = thr;
-                            arow[AUX_SELF * tile] = selff;
-                            o.row_u[row - o.tile_base] = (int32_t)g_u;
-                            o.row_v[row - o.tile_base] = (int32_t)g_v;
+                    const int32_t mask = lb.node_masks[node_base + u];
+                    const int32_t lo0 = (int32_t)ma.nodes.size();
+                    for (int t = 0; t < NUM_TYPES; ++t) {
+                        if (mask & (1 << t)) {
+                            const int32_t lo = m.ct_offsets[ct_base + t];
+                            const int32_t hi = m.ct_offsets[ct_base + t + 1];
+                            for (int32_t k = lo; k < hi; ++k)
+                                ma.nodes.push_back(m.ct_nodes[k]);
                         }
-                        grow[lane * tile] = mu_row[qn];
-                        const float s = std_row[qn];
-                        grow[(P + lane) * tile] = 1.0f / s;
-                        grow[(2 * P + lane) * tile] = (wp * m.weight[qn]) / s;
-                        ++k;
+                    }
+                    if ((int32_t)ma.nodes.size() > lo0) {
+                        ma.e_u.push_back(u);
+                        ma.e_lo.push_back(lo0);
+                        ma.e_hi.push_back((int32_t)ma.nodes.size());
                     }
                 }
-                // block-end annotations on the last row
-                arow[AUX_MNINV * tile] = 1.0f / (float)std::max<int64_t>(mn, 1);
-                arow[AUX_MNHALF * tile] = (float)((mn + 1) / 2);
-                arow[AUX_GATE * tile] = gate;
-                if (o.nst % tile == 0) o.close_tile(lb);
-            };
-
-            if (self_pair) {
-                const auto& ml = *m1;
-                for (size_t a = 0; a < ml.size(); ++a)
-                    for (size_t b = a + 1; b < ml.size(); ++b)
-                        emit_block(ml[a].first, ml[b].first, ml[a].second, ml[b].second);
-            } else {
-                for (const auto& eu : *m1)
-                    for (const auto& ev : *m2)
-                        emit_block(eu.first, ev.first, eu.second, ev.second);
+                ma.ml_hi.push_back((int32_t)ma.e_u.size());
             }
-            o.maxp = std::max(o.maxp, o.nst - pair_start);
-            o.pend.push_back(o.nst - 1);
+        }
+
+        auto ml_at = [&](int32_t i, int32_t cj_rel) {
+            const int32_t mi = ma.ml_base[(size_t)i] + cj_rel;
+            return std::pair<int32_t, int32_t>(ma.ml_lo[(size_t)mi], ma.ml_hi[(size_t)mi]);
         };
+        auto block_rows = [P](int64_t a, int64_t b) {
+            return (a * b + P - 1) / P;
+        };
+        auto e_n = [&](int32_t e) {
+            return (int64_t)(ma.e_hi[(size_t)e] - ma.e_lo[(size_t)e]);
+        };
+
+        // pass 1 (pair order = emission order): pair tables, spans, marks
+        marked.assign((size_t)lb.ln, 0);
+        spans.clear();
+        int64_t lig_rows = 0;
+        for (int32_t i = 0; i < n_active; ++i) {
+            const int32_t l = lb.active[a_lo + i];
+            const int32_t gc = clus_base + l;
+            const int32_t c_lo = lb.cand_offsets[gc];
+            for (int32_t cj = c_lo; cj < lb.cand_offsets[gc + 1]; ++cj) {
+                auto [e0, e1] = ml_at(i, cj - c_lo);
+                int64_t span = 0;
+                if (e1 - e0 >= 2) {
+                    for (int32_t a = e0; a < e1; ++a) {
+                        marked[(size_t)ma.e_u[(size_t)a]] = 1;
+                        for (int32_t b = a + 1; b < e1; ++b)
+                            span += block_rows(e_n(a), e_n(b));
+                    }
+                }
+                o.pthr.push_back(INF);
+                o.pmeta.insert(o.pmeta.end(), {li, l, l, lb.cands[cj], lb.cands[cj], 1});
+                spans.push_back(span);
+                lig_rows += span;
+            }
+        }
+        for (int32_t i1 = 0; i1 < n_active; ++i1) {
+            const int32_t l1 = lb.active[a_lo + i1];
+            const int32_t gc1 = clus_base + l1;
+            const int32_t c1_lo = lb.cand_offsets[gc1];
+            for (int32_t i2 = i1 + 1; i2 < n_active; ++i2) {
+                const int32_t l2 = lb.active[a_lo + i2];
+                const int32_t gc2 = clus_base + l2;
+                const int32_t c2_lo = lb.cand_offsets[gc2];
+                for (int32_t cj1 = c1_lo; cj1 < lb.cand_offsets[gc1 + 1]; ++cj1) {
+                    auto [a0, a1] = ml_at(i1, cj1 - c1_lo);
+                    for (int32_t cj2 = c2_lo; cj2 < lb.cand_offsets[gc2 + 1]; ++cj2) {
+                        auto [b0e, b1e] = ml_at(i2, cj2 - c2_lo);
+                        int64_t span = 0;
+                        if (a1 > a0 && b1e > b0e) {
+                            for (int32_t a = a0; a < a1; ++a) {
+                                marked[(size_t)ma.e_u[(size_t)a]] = 1;
+                                for (int32_t b = b0e; b < b1e; ++b)
+                                    span += block_rows(e_n(a), e_n(b));
+                            }
+                            for (int32_t b = b0e; b < b1e; ++b)
+                                marked[(size_t)ma.e_u[(size_t)b]] = 1;
+                        }
+                        o.pthr.push_back(
+                            0.5f * (float)(a1 - a0) * (float)(b1e - b0e));
+                        o.pmeta.insert(o.pmeta.end(), {li, l1, l2, lb.cands[cj1], lb.cands[cj2], 0});
+                        spans.push_back(span);
+                        lig_rows += span;
+                    }
+                }
+            }
+        }
 
         if (lig_rows == 0) {
-            // no emitted rows: pairs still exist in the pair tables
-            for (int32_t i = 0; i < n_active; ++i) {
-                const int32_t l = lb.active[a_lo + i];
-                const int32_t gc = clus_base + l;
-                for (int32_t cj = lb.cand_offsets[gc]; cj < lb.cand_offsets[gc + 1]; ++cj) {
-                    o.pthr.push_back(INF);
-                    o.pmeta.insert(o.pmeta.end(), {li, l, l, lb.cands[cj], lb.cands[cj], 1});
-                    o.pend.push_back(-1);
-                }
-            }
-            for (int32_t i1 = 0; i1 < n_active; ++i1) {
-                const int32_t l1 = lb.active[a_lo + i1];
-                const int32_t gc1 = clus_base + l1;
-                for (int32_t i2 = i1 + 1; i2 < n_active; ++i2) {
-                    const int32_t l2 = lb.active[a_lo + i2];
-                    const int32_t gc2 = clus_base + l2;
-                    for (int32_t cj1 = lb.cand_offsets[gc1]; cj1 < lb.cand_offsets[gc1 + 1]; ++cj1)
-                        for (int32_t cj2 = lb.cand_offsets[gc2]; cj2 < lb.cand_offsets[gc2 + 1]; ++cj2) {
-                            const auto& m1 = matchlists[i1][(size_t)(cj1 - lb.cand_offsets[gc1])];
-                            const auto& m2 = matchlists[i2][(size_t)(cj2 - lb.cand_offsets[gc2])];
-                            o.pthr.push_back(0.5f * (float)m1.size() * (float)m2.size());
-                            o.pmeta.insert(o.pmeta.end(), {li, l1, l2, lb.cands[cj1], lb.cands[cj2], 0});
-                            o.pend.push_back(-1);
-                        }
-                }
-            }
+            for (size_t k = 0; k < spans.size(); ++k) o.pend.push_back(-1);
             o.pslices.push_back((int64_t)o.pthr.size());
             continue;
         }
 
+        int64_t n_ref = 0;
+        for (char c : marked) n_ref += c;
         if (n_ref > cap) { o.rc = -3; break; }
         // per-ligand node budget (conservative: full referenced set)
         const int64_t in_tile = o.nst % tile;
@@ -361,24 +324,95 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
         }
         const int64_t start = o.nst;
 
-        // self pairs
+        // pass 2: emit rows, pair-aligned (spans precomputed)
+        size_t span_idx = 0;
+        auto emit_block = [&](int32_t ea, int32_t eb, bool& first_row_of_pair,
+                              float thr, float selff, float gate,
+                              float*& arow_out) {
+            const int32_t u = ma.e_u[(size_t)ea], v = ma.e_u[(size_t)eb];
+            const int64_t mn = e_n(ea) * e_n(eb);
+            const int64_t rows = (mn + P - 1) / P;
+            o.maxb = std::max(o.maxb, rows);
+            const int32_t g_u = li * lb.ln + u;
+            const int32_t g_v = li * lb.ln + v;
+            int64_t k = 0, row = -1;
+            float* grow = nullptr;
+            float* arow = nullptr;
+            for (int32_t ai = ma.e_lo[(size_t)ea]; ai < ma.e_hi[(size_t)ea]; ++ai) {
+                const int32_t pn = ma.nodes[(size_t)ai];
+                const float wp = m.weight[pn];
+                const float* mu_row = m.mu + (int64_t)pn * m.Mn;
+                const float* std_row = m.stdv + (int64_t)pn * m.Mn;
+                for (int32_t bi = ma.e_lo[(size_t)eb]; bi < ma.e_hi[(size_t)eb]; ++bi) {
+                    const int32_t qn = ma.nodes[(size_t)bi];
+                    const int lane = (int)(k % P);
+                    if (lane == 0) {
+                        row = o.nst++;
+                        const int64_t t = row / tile, off = row % tile;
+                        grow = &o.gtab[(t * 3 * P) * tile + off];
+                        arow = &o.aux[(t * 7) * tile + off];
+                        for (int p = 0; p < P; ++p) {
+                            grow[p * tile] = 0.f;
+                            grow[(P + p) * tile] = 1.f;
+                            grow[(2 * P + p) * tile] = 0.f;
+                        }
+                        arow[AUX_FB * tile] = (k == 0) ? 1.f : 0.f;
+                        arow[AUX_FP * tile] = first_row_of_pair ? 1.f : 0.f;
+                        first_row_of_pair = false;
+                        arow[AUX_MNINV * tile] = 0.f;
+                        arow[AUX_MNHALF * tile] = 0.f;
+                        arow[AUX_GATE * tile] = 0.f;
+                        arow[AUX_THR * tile] = thr;
+                        arow[AUX_SELF * tile] = selff;
+                        o.row_u[row - o.tile_base] = g_u;
+                        o.row_v[row - o.tile_base] = g_v;
+                        o.register_node(g_u);
+                        o.register_node(g_v);
+                    }
+                    grow[lane * tile] = mu_row[qn];
+                    const float s = std_row[qn];
+                    grow[(P + lane) * tile] = 1.0f / s;
+                    grow[(2 * P + lane) * tile] = (wp * m.weight[qn]) / s;
+                    ++k;
+                }
+            }
+            arow[AUX_MNINV * tile] = 1.0f / (float)std::max<int64_t>(mn, 1);
+            arow[AUX_MNHALF * tile] = (float)((mn + 1) / 2);
+            arow[AUX_GATE * tile] = gate;
+            arow_out = arow;
+            if (o.nst % tile == 0) o.close_tile(lb);
+        };
+
+        auto begin_pair = [&](int64_t span) -> bool {
+            // pair-align: returns false for empty pairs
+            if (span == 0) { o.pend.push_back(-1); return false; }
+            if (span > tile) { o.rc = -3; return false; }
+            int64_t start_at = o.nst;
+            if ((o.nst % tile) + span > tile)
+                start_at = (o.nst / tile + 1) * tile;
+            if (start_at + span > o.cap_tiles * tile) { o.rc = -1; return false; }
+            if (start_at != o.nst) o.pad_to_boundary(lb);
+            return o.rc == 0;
+        };
+
         for (int32_t i = 0; i < n_active && o.rc == 0; ++i) {
             const int32_t l = lb.active[a_lo + i];
             const int32_t gc = clus_base + l;
             const int32_t c_lo = lb.cand_offsets[gc];
-            for (int32_t cj = c_lo; cj < lb.cand_offsets[gc + 1]; ++cj) {
-                const auto& ml = matchlists[i][(size_t)(cj - c_lo)];
-                int64_t span = 0;
-                for (size_t a = 0; a < ml.size(); ++a)
-                    for (size_t b = a + 1; b < ml.size(); ++b)
-                        span += block_rows(ml[a].second.size(), ml[b].second.size());
-                o.pthr.push_back(INF);
-                o.pmeta.insert(o.pmeta.end(), {li, l, l, lb.cands[cj], lb.cands[cj], 1});
-                emit_pair_rows(&ml, nullptr, true, INF, span);
-                if (o.rc != 0) break;
+            for (int32_t cj = c_lo; cj < lb.cand_offsets[gc + 1] && o.rc == 0; ++cj) {
+                const int64_t span = spans[span_idx++];
+                if (!begin_pair(span)) continue;
+                auto [e0, e1] = ml_at(i, cj - c_lo);
+                const int64_t pair_start = o.nst;
+                bool first = true;
+                float* arow = nullptr;
+                for (int32_t a = e0; a < e1; ++a)
+                    for (int32_t b = a + 1; b < e1; ++b)
+                        emit_block(a, b, first, INF, 1.f, 0.f, arow);
+                o.maxp = std::max(o.maxp, o.nst - pair_start);
+                o.pend.push_back(o.nst - 1);
             }
         }
-        // cross pairs
         for (int32_t i1 = 0; i1 < n_active && o.rc == 0; ++i1) {
             const int32_t l1 = lb.active[a_lo + i1];
             const int32_t gc1 = clus_base + l1;
@@ -388,17 +422,20 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
                 const int32_t gc2 = clus_base + l2;
                 const int32_t c2_lo = lb.cand_offsets[gc2];
                 for (int32_t cj1 = c1_lo; cj1 < lb.cand_offsets[gc1 + 1] && o.rc == 0; ++cj1) {
-                    const auto& m1 = matchlists[i1][(size_t)(cj1 - c1_lo)];
+                    auto [a0, a1] = ml_at(i1, cj1 - c1_lo);
                     for (int32_t cj2 = c2_lo; cj2 < lb.cand_offsets[gc2 + 1] && o.rc == 0; ++cj2) {
-                        const auto& m2 = matchlists[i2][(size_t)(cj2 - c2_lo)];
-                        int64_t span = 0;
-                        for (const auto& eu : m1)
-                            for (const auto& ev : m2)
-                                span += block_rows(eu.second.size(), ev.second.size());
-                        const float thr = 0.5f * (float)m1.size() * (float)m2.size();
-                        o.pthr.push_back(thr);
-                        o.pmeta.insert(o.pmeta.end(), {li, l1, l2, lb.cands[cj1], lb.cands[cj2], 0});
-                        emit_pair_rows(&m1, &m2, false, thr, span);
+                        const int64_t span = spans[span_idx++];
+                        if (!begin_pair(span)) continue;
+                        auto [b0e, b1e] = ml_at(i2, cj2 - c2_lo);
+                        const float thr = 0.5f * (float)(a1 - a0) * (float)(b1e - b0e);
+                        const int64_t pair_start = o.nst;
+                        bool first = true;
+                        float* arow = nullptr;
+                        for (int32_t a = a0; a < a1; ++a)
+                            for (int32_t b = b0e; b < b1e; ++b)
+                                emit_block(a, b, first, thr, 0.f, 1.f, arow);
+                        o.maxp = std::max(o.maxp, o.nst - pair_start);
+                        o.pend.push_back(o.nst - 1);
                     }
                 }
             }
@@ -454,42 +491,74 @@ extern "C" int32_t pack_tiled(
 
     const int nthreads = std::max(1, std::min<int>(threads, B));
     std::vector<SegBuf> segs((size_t)nthreads);
+    std::vector<float*> staging;  // malloc'd buffers for threads > 0
     std::vector<std::thread> pool;
     const int32_t chunk = (B + nthreads - 1) / nthreads;
+    // staging capacity per extra thread: generous share of the total
+    const int64_t cap_per =
+        nthreads == 1 ? t_alloc
+                      : std::min<int64_t>(t_alloc, 2 * (t_alloc / nthreads) + 64);
     for (int t = 0; t < nthreads; ++t) {
         SegBuf& s = segs[(size_t)t];
         s.tile = tile; s.P = P; s.cap = cap; s.threec = threec;
-        const int32_t b0 = t * chunk, b1 = std::min(B, (t + 1) * chunk);
-        if (b0 >= b1) continue;
-        if (nthreads == 1) pack_range(model, lb, P, tile, cap, b0, b1, s);
-        else pool.emplace_back(pack_range, std::cref(model), std::cref(lb),
-                               P, tile, cap, b0, b1, std::ref(s));
+        if (t == 0) {
+            // first segment starts at offset 0: write the finals directly
+            s.gtab = gtab; s.aux = aux; s.uv = uv; s.pos = pos_blocks;
+            s.cap_tiles = nthreads == 1 ? t_alloc : cap_per;
+        } else {
+            float* g = (float*)std::malloc(sizeof(float) * cap_per * 3 * P * tile);
+            float* a = (float*)std::malloc(sizeof(float) * cap_per * 7 * tile);
+            int32_t* u = (int32_t*)std::malloc(sizeof(int32_t) * cap_per * tile);
+            float* p = (float*)std::malloc(sizeof(float) * cap_per * threec * cap);
+            staging.insert(staging.end(), {g, a, (float*)u, p});
+            s.gtab = g; s.aux = a; s.uv = u; s.pos = p;
+            s.cap_tiles = (g && a && u && p) ? cap_per : 0;
+        }
+    }
+    for (int t = 0; t < nthreads; ++t) {
+        const int32_t lo = t * chunk, hi = std::min(B, (t + 1) * chunk);
+        if (lo >= hi) continue;
+        if (nthreads == 1)
+            pack_range(model, lb, P, tile, cap, lo, hi, segs[(size_t)t]);
+        else
+            pool.emplace_back(pack_range, std::cref(model), std::cref(lb),
+                              P, tile, cap, lo, hi, std::ref(segs[(size_t)t]));
     }
     for (auto& th : pool) th.join();
 
+    auto cleanup = [&]() { for (float* p : staging) std::free(p); };
+
     int64_t nst = 0, np = 0, maxb = 1, maxp = 1;
+    int rc = 0;
     for (auto& s : segs) {
-        if (s.rc != 0) return s.rc;
+        if (s.rc != 0 && rc == 0) rc = s.rc;
         nst += s.nst;
         np += (int64_t)s.pthr.size();
         maxb = std::max(maxb, s.maxb);
         maxp = std::max(maxp, s.maxp);
     }
     out[0] = nst; out[1] = np; out[2] = maxb; out[3] = maxp;
-    if (nst > t_alloc * tile) return -1;
-    if (np > cap_np) return -2;
+    if (rc == -1 || nst > t_alloc * tile) {
+        // tile overflow: out[0] is a lower bound; the caller regrows
+        out[0] = std::max(nst, t_alloc * tile + 1);
+        cleanup();
+        return -1;
+    }
+    if (rc != 0) { cleanup(); return rc; }
+    if (np > cap_np) { cleanup(); return -2; }
 
     // merge segments (contiguous memcpys; tile-aligned by construction)
     int64_t row_off = 0, np_off = 0, lig_off = 0;
-    for (auto& s : segs) {
+    for (size_t si = 0; si < segs.size(); ++si) {
+        SegBuf& s = segs[si];
         const int64_t t0 = row_off / tile, ts = s.nst / tile;
-        if (ts) {
-            std::memcpy(gtab + t0 * 3 * P * tile, s.gtab.data(),
+        if (ts && si > 0) {  // segment 0 already lives in the finals
+            std::memcpy(gtab + t0 * 3 * P * tile, s.gtab,
                         sizeof(float) * ts * 3 * P * tile);
-            std::memcpy(aux + t0 * 7 * tile, s.aux.data(),
+            std::memcpy(aux + t0 * 7 * tile, s.aux,
                         sizeof(float) * ts * 7 * tile);
-            std::memcpy(uv + t0 * tile, s.uv.data(), sizeof(int32_t) * ts * tile);
-            std::memcpy(pos_blocks + t0 * threec * cap, s.pos.data(),
+            std::memcpy(uv + t0 * tile, s.uv, sizeof(int32_t) * ts * tile);
+            std::memcpy(pos_blocks + t0 * threec * cap, s.pos,
                         sizeof(float) * ts * threec * cap);
         }
         const int64_t sp = (int64_t)s.pthr.size();
@@ -507,6 +576,7 @@ extern "C" int32_t pack_tiled(
         }
         row_off += s.nst; np_off += sp; lig_off += nl;
     }
+    cleanup();
 
     // neutral-fill the remaining allocated tiles (bucket padding)
     for (int64_t t = nst / tile; t < t_alloc; ++t) {

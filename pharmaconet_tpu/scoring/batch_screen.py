@@ -870,6 +870,7 @@ class BatchScreener:
         self.native_pack = native_pack
         self.pack_threads = pack_threads
         self._rows_hint: float = 600.0  # running rows-per-ligand estimate
+        self._pack_buffers: dict = {}  # reused tiled-pack output arrays
 
     def _resolve_engine(self) -> str:
         if self.engine is not None:
@@ -926,6 +927,7 @@ class BatchScreener:
         tb = build_tiled_batch(
             self.packed_model, live, threads=self.pack_threads,
             rows_hint=int(self._rows_hint * len(live)),
+            buffer_cache=self._pack_buffers,
         )
         if tb is None:
             return None

@@ -67,11 +67,18 @@ def build_tiled_batch(
     threads: int = 1,
     rows_hint: int | None = None,
     width: int | None = None,
+    buffer_cache: dict | None = None,
 ) -> TiledBatch | None:
     """Pack ligands straight into the tiled device layout (C++; None when
     the native library is unavailable). `rows_hint` seeds the width guess
     (callers keep a running rows-per-ligand average); `width` pins the
-    final padded width exactly (multi-shard batches must share shapes)."""
+    final padded width exactly (multi-shard batches must share shapes).
+
+    `buffer_cache` (a dict owned by the caller) reuses output arrays
+    across batches of the same padded shape: numpy releases >128 KB blocks
+    back to the OS on free, so fresh ~200 MB allocations re-page-fault
+    every batch (~2x the whole pack cost). The returned TiledBatch ALIASES
+    the cache — consume it before the next build call with the same cache."""
     from ..native import get_pack_tiled
 
     fn = get_pack_tiled()
@@ -100,14 +107,26 @@ def build_tiled_batch(
     cap_np = max(1024, 1024 * num_ligands)
 
     while True:
-        gtab = np.empty((t_alloc, 3, BLOCK_P, TILE), dtype=np.float32)
-        aux = np.empty((t_alloc, 7, TILE), dtype=np.float32)
-        uv = np.empty((t_alloc, TILE), dtype=np.int32)
-        pos_blocks = np.empty((t_alloc, threec, NODE_CAP), dtype=np.float32)
-        pair_threshold = np.empty(cap_np, dtype=np.float32)
-        pair_meta = np.empty((cap_np, 6), dtype=np.int32)
-        pair_end_rows = np.empty(cap_np, dtype=np.int64)
-        pair_slices = np.zeros((num_ligands, 2), dtype=np.int64)
+        key = (t_alloc, cap_np, threec, num_ligands)
+        cached = buffer_cache.get(key) if buffer_cache is not None else None
+        if cached is None:
+            gtab = np.empty((t_alloc, 3, BLOCK_P, TILE), dtype=np.float32)
+            aux = np.empty((t_alloc, 7, TILE), dtype=np.float32)
+            uv = np.empty((t_alloc, TILE), dtype=np.int32)
+            pos_blocks = np.empty((t_alloc, threec, NODE_CAP), dtype=np.float32)
+            pair_threshold = np.empty(cap_np, dtype=np.float32)
+            pair_meta = np.empty((cap_np, 6), dtype=np.int32)
+            pair_end_rows = np.empty(cap_np, dtype=np.int64)
+            pair_slices = np.empty((num_ligands, 2), dtype=np.int64)
+            if buffer_cache is not None:
+                buffer_cache.clear()  # one live shape per cache
+                buffer_cache[key] = (
+                    gtab, aux, uv, pos_blocks, pair_threshold, pair_meta,
+                    pair_end_rows, pair_slices,
+                )
+        else:
+            (gtab, aux, uv, pos_blocks, pair_threshold, pair_meta,
+             pair_end_rows, pair_slices) = cached
         out = np.zeros(4, dtype=np.int64)
         rc = fn(
             len(model.cluster_nodes), len(model.weight),
