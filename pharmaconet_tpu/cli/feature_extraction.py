@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> int:
+    from pharmaconet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from pharmaconet_tpu.api import get_pmnet_dev
 
     module = get_pmnet_dev(weight_path=args.weight_path)

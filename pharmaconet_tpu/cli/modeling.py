@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     env = parser.add_argument_group("environment")
     env.add_argument("--weight_path", type=str, help="custom weight path (.npz or reference model.tar)")
     env.add_argument("--force", action="store_true", help="overwrite existing outputs")
+    env.add_argument("--segmentation_precision", choices=("float32", "tensorfloat32", "bfloat16"),
+                     default="tensorfloat32",
+                     help="mask-decoder precision; the tensorfloat32 default matches the "
+                          "reference's own GPU conv execution (cudnn allow_tf32=True)")
     env.add_argument("--precision", choices=("float32", "tensorfloat32", "bfloat16"),
                      default="float32",
                      help="matmul/conv precision: float32 matches the reference to 1e-4; "
@@ -47,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> int:
+    from pharmaconet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import pharmaconet_tpu
     from pharmaconet_tpu.module import PharmacoNet
     from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
@@ -60,7 +67,8 @@ def main(args) -> int:
     save_dir = Path(args.out_dir) if args.out_dir else Path("./result") / prefix
     save_dir.mkdir(exist_ok=True, parents=True)
 
-    module = PharmacoNet(weight_path=args.weight_path, matmul_precision=args.precision)
+    module = PharmacoNet(weight_path=args.weight_path, matmul_precision=args.precision,
+                         segmentation_precision=args.segmentation_precision)
     logging.info("Load PharmacoNet finish")
 
     if isinstance(args.pdb, str):

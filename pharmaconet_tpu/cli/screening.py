@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> int:
+    from pharmaconet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     from pharmaconet_tpu.parallel.screening import ShardedScreener

@@ -94,14 +94,24 @@ class PharmacoNet:
         grid_dim: int = C.GRID_DIM,
         model_kwargs: dict | None = None,
         matmul_precision: str = "float32",
+        segmentation_precision: str | None = "tensorfloat32",
         voxelizer: str = "xla",
         _random_init_seed: int | None = None,
     ):
         """matmul_precision: 'float32' pins full-precision matmuls/convs on
-        TPU (required for the 1e-4 checkpoint-parity budget, SURVEY.md §7
-        hard-part 1). Measured on v5e-1 (full arch, 64-cube, 128 hotspots):
+        TPU for the trunk + cavity/token heads (the 1e-4 checkpoint-parity
+        budget, SURVEY.md §7 hard-part 1 — every score/decision the model
+        emits). Measured on v5e-1 (full arch, 64-cube, 128 hotspots):
         float32 1.54s, 'tensorfloat32' 0.89s (<=1e-4 relative feature error,
         identical cavity/hotspot decisions), 'bfloat16' 0.41s.
+
+        segmentation_precision: precision for the per-hotspot mask decoder
+        only (None = inherit matmul_precision). Default 'tensorfloat32' is
+        parity-FAITHFUL, not a compromise: the reference never touches
+        torch.backends.cudnn.allow_tf32 (defaults True), so its production
+        convolutions — the mask head is all convs — run at tf32 on any
+        Ampere+ GPU. Mask logits only feed sigmoid+threshold masks, not
+        scores; measured deviation vs full-f32 is ~1e-6 relative (PARITY.md).
 
         voxelizer: 'xla' (ops/voxelize.py, default) or 'pallas'
         (ops/voxelize_pallas.py fused kernel — equality with the XLA path is
@@ -109,6 +119,7 @@ class PharmacoNet:
         assert voxelizer in ("xla", "pallas")
         self.voxelizer = voxelizer
         self.matmul_precision = matmul_precision
+        self.segmentation_precision = segmentation_precision or matmul_precision
         self.grid_dim = grid_dim
         self.model = build_model(image_size=grid_dim, **(model_kwargs or {}))
         self._random_init_seed = _random_init_seed
@@ -379,7 +390,8 @@ class PharmacoNet:
                 self.params, pyramid, tk, ft, method="forward_segmentation"
             )
 
-        logits = jax.lax.map(seg_chunk, (tok_chunks, feat_chunks))
+        with jax.default_matmul_precision(self.segmentation_precision):
+            logits = jax.lax.map(seg_chunk, (tok_chunks, feat_chunks))
         logits = logits.reshape(k, *logits.shape[2:])  # [K, D, H, W]
 
         density = postprocess_density(
@@ -422,6 +434,11 @@ class PharmacoNet:
         )
 
     def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:
+        """Trunk once, then segment exactly the kept tokens in chunk-sized
+        device programs — latency is proportional to the pocket's actual
+        hotspot count (ceil(n/chunk) x ~chunk cost), not to max_hotspots.
+        The reference segments ALL filtered hotspots (module.py:255-276);
+        this path matches that exactly, in token index order."""
         out = self._device_program(
             jnp.asarray(data.atom_positions),
             jnp.asarray(data.atom_features),
@@ -429,46 +446,52 @@ class PharmacoNet:
             jnp.asarray(data.tokens),
             jnp.asarray(data.token_valid),
             jnp.asarray(data.center),
-            with_segmentation=True,
+            with_segmentation=False,
         )
-        infos = self.hotspot_infos_from_outputs(
-            data,
-            np.asarray(out["hotspot_index"]),
-            np.asarray(out["hotspot_valid"]),
-            np.asarray(out["rel_scores"]),
-            out["density_maps"],
-        )
-        # Overflow: the fused program segments the first max_hotspots kept
-        # tokens (token index order). The reference segments ALL filtered
-        # hotspots (module.py:255-276), so token-rich pockets continue in
-        # additional slabs reusing the device-resident pyramid.
         keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
-        k = self.max_hotspots
-        if len(keep_idx) > k:
-            if self.verbose:
-                logger.info(
-                    "pocket has %d hotspots (> %d per slab): running %d overflow slab(s)",
-                    len(keep_idx), k, -(-(len(keep_idx) - k) // k),
-                )
-            rel_scores = np.asarray(out["rel_scores"])
-            for start in range(k, len(keep_idx), k):
-                slab = keep_idx[start : start + k]
-                idx = np.zeros(k, dtype=np.int32)
-                idx[: len(slab)] = slab
-                valid = np.zeros(k, dtype=bool)
-                valid[: len(slab)] = True
-                idx_dev = jnp.asarray(idx)
-                density = self._segmentation_program(
-                    out["pyramid"],
-                    out["protein_mask"],
-                    out["cavity_narrow"],
-                    jnp.asarray(data.tokens)[idx_dev],
-                    out["token_features"][idx_dev],
-                    jnp.asarray(valid),
-                )
-                infos += self.hotspot_infos_from_outputs(
-                    data, idx, valid, rel_scores, density
-                )
+        if self.verbose:
+            logger.info(
+                "pocket keeps %d hotspots: %d segmentation chunk(s) of %d",
+                len(keep_idx), -(-len(keep_idx) // self.segmentation_chunk),
+                self.segmentation_chunk,
+            )
+        return self._segment_kept(data, out, keep_idx)
+
+    def _segment_kept(
+        self, data: ProteinData, out: dict[str, Any], keep_idx: np.ndarray
+    ) -> list[dict[str, Any]]:
+        """Segment the given token indices in chunk-sized slabs reusing the
+        pocket's device-resident pyramid; returns hotspot infos."""
+        chunk = self.segmentation_chunk
+        rel_scores = np.asarray(out["rel_scores"])
+        tokens_dev = jnp.asarray(data.tokens)
+        infos: list[dict[str, Any]] = []
+        start = 0
+        while start < len(keep_idx):
+            # full max_hotspots slabs amortize per-call overhead (~25 ms,
+            # cheaper than per-chunk calls from ~3/4 occupancy up); the tail
+            # runs in chunk-sized programs so latency stays proportional to
+            # the pocket's actual hotspot count
+            remaining = len(keep_idx) - start
+            size = self.max_hotspots if remaining >= (3 * self.max_hotspots) // 4 else chunk
+            slab = keep_idx[start : start + size]
+            start += size
+            idx = np.zeros(size, dtype=np.int32)
+            idx[: len(slab)] = slab
+            valid = np.zeros(size, dtype=bool)
+            valid[: len(slab)] = True
+            idx_dev = jnp.asarray(idx)
+            density = self._segmentation_program(
+                out["pyramid"],
+                out["protein_mask"],
+                out["cavity_narrow"],
+                tokens_dev[idx_dev],
+                out["token_features"][idx_dev],
+                jnp.asarray(valid),
+            )
+            infos += self.hotspot_infos_from_outputs(
+                data, idx, valid, rel_scores, density
+            )
         return infos
 
     def hotspot_infos_from_outputs(
