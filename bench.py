@@ -163,6 +163,58 @@ def make_synthetic_ligands(n: int, num_conformers: int = 4, seed: int = 1):
     return out
 
 
+_SMILES_POOL = [
+    "c1ccccc1", "c1ccncc1", "c1ccc2ccccc2c1", "CC(=O)Nc1ccc(O)cc1",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "CCO", "CC(=O)OC", "CCN(CC)CC",
+    "c1ccc(cc1)C(=O)O", "CC(C)(C)c1ccccc1O", "COc1ccc(cc1)CCN",
+    "Clc1ccc(cc1)C(=O)N", "Fc1ccc(cc1)S(=O)(=O)N", "CC1CCCCC1",
+    "O=C1CCCCC1", "c1ccc(cc1)Cc1ccccc1", "CC(N)C(=O)O",
+    "c1ccc(cc1)NC(=O)C", "CCOC(=O)c1ccccc1", "Cc1cccc(C)c1NC(=O)C",
+]
+
+
+def bench_proxy(batch_size: int, iters: int):
+    """Batched docking-proxy inference throughput (BASELINE config #5:
+    pmnet_appl batched proxy inference on CrossDocked-style pockets).
+
+    Random-init SBDDReward network (the published checkpoints are not
+    redistributable here; identical compute graph), one cached target,
+    batched SMILES scoring — reports molecules/sec/chip including the host
+    SMILES->graph featurization (the production path of scoring_list,
+    reference base/proxy.py:154-170)."""
+    import jax.numpy as jnp
+
+    from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy
+
+    rng = np.random.default_rng(0)
+    features = [
+        jnp.asarray(rng.normal(0, 1, (1, d, d, d, 96)).astype(np.float32))
+        for d in (4, 8, 16, 32, 64)
+    ]
+    hotspot_infos = [
+        {
+            "hotspot_feature": rng.normal(0, 1, 192).astype(np.float32),
+            "hotspot_position": tuple(rng.uniform(-5, 5, 3).tolist()),
+        }
+        for _ in range(16)
+    ]
+    proxy = SBDDReward_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+    smiles = [_SMILES_POOL[i % len(_SMILES_POOL)] for i in range(batch_size)]
+    scores = proxy._scoring_list(cache, smiles)  # warm: compile
+    assert np.isfinite(scores).all()
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        scores = proxy._scoring_list(cache, smiles)
+        float(np.sum(scores))
+        times.append(time.time() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(f"[bench] proxy batch={batch_size} {med * 1e3:.1f} ms/batch", file=sys.stderr)
+    return batch_size / med
+
+
 def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
     """Prepacked-library screening pipeline throughput.
 
@@ -234,6 +286,14 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     mode = os.environ.get("BENCH_MODE", "kernel")
+    if mode == "proxy":
+        value = bench_proxy(batch_size, max(3, iters // 2))
+        print(json.dumps({
+            "metric": "proxy_inference_throughput", "value": round(value, 1),
+            "unit": "molecules/sec/chip",
+            "vs_baseline": round(value / 100000.0, 3),
+        }))
+        return
     if mode in ("host", "e2e"):
         value = bench_host_pipeline(batch_size, max(3, iters // 2), mode == "e2e")
         metric = (

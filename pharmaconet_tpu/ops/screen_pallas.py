@@ -36,31 +36,40 @@ from ..scoring.screen_tiles import NODE_CAP, TILE
 BLOCK_P = 8  # model-node pairs per sub-block (matches batch_screen.BLOCK_P)
 
 
-def _gauss_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, out_ref,
-                  *, c: int, tile: int, cap: int):
-    packed = uv_ref[0, :]
+def _gauss_phase(pos, packed, mu, inv, winv, *, c: int, tile: int, cap: int):
+    """Shared gaussian phase (see _fused_body notes on the signed one-hot
+    matmul and the sublane-packed [P*c, tile] layout). Returns (scores,
+    npass), each [c, tile]."""
     u = packed // cap
     v = packed % cap
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 0)
-    oh_u = (iota == u[None, :]).astype(jnp.float32)
-    oh_v = (iota == v[None, :]).astype(jnp.float32)
-    pos = pos_ref[0]  # [3c, cap]
-    pu = jnp.dot(pos, oh_u, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # [3c, tile]
-    pv = jnp.dot(pos, oh_v, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    dvec = pu - pv
+    oh = (iota == u[None, :]).astype(jnp.float32) - (
+        iota == v[None, :]
+    ).astype(jnp.float32)
+    dvec = jnp.dot(pos, oh, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [3c, tile]
     d2 = jnp.sum((dvec * dvec).reshape(c, 3, tile), axis=1)  # [c, tile]
     dt = jnp.sqrt(d2)
-    scores = jnp.zeros((c, tile), jnp.float32)
-    npass = jnp.zeros((c, tile), jnp.float32)
-    for p in range(BLOCK_P):
-        x = (dt - mu_ref[p, :][None, :]) * inv_ref[p, :][None, :]
-        x2 = x * x
-        w = winv_ref[p, :][None, :]
-        valid = w > 0.0
-        scores = scores + jnp.where(valid, w * jnp.exp(-0.5 * x2), 0.0)
-        npass = npass + jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+    dt_b = jnp.concatenate([dt] * BLOCK_P, axis=0)  # [P*c, tile]
+    mu_b = jnp.concatenate([mu[:, None, :]] * c, axis=1).reshape(BLOCK_P * c, tile)
+    inv_b = jnp.concatenate([inv[:, None, :]] * c, axis=1).reshape(BLOCK_P * c, tile)
+    winv_b = jnp.concatenate([winv[:, None, :]] * c, axis=1).reshape(BLOCK_P * c, tile)
+    x = (dt_b - mu_b) * inv_b
+    x2 = x * x
+    valid = winv_b > 0.0
+    term = jnp.where(valid, winv_b * jnp.exp(-0.5 * x2), 0.0)
+    hit = jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+    scores = jnp.sum(term.reshape(BLOCK_P, c, tile), axis=0)
+    npass = jnp.sum(hit.reshape(BLOCK_P, c, tile), axis=0)
+    return scores, npass
+
+
+def _gauss_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, out_ref,
+                  *, c: int, tile: int, cap: int):
+    scores, npass = _gauss_phase(
+        pos_ref[0], uv_ref[0, :], mu_ref[:, :], inv_ref[:, :], winv_ref[:, :],
+        c=c, tile=tile, cap=cap,
+    )
     out_ref[0:c, :] = scores
     out_ref[c : 2 * c, :] = npass
 
@@ -127,28 +136,18 @@ def _fused_body(out_ref, pos, packed, mu, inv, winv, fb, fp, mninv, mnhalf,
     the 2.08 ms round-2 kernel); here every intermediate lives in VMEM and
     the only HBM traffic is the input tables and the [C, tile] result.
     All inputs are VALUES (loaded from refs by the kernel wrappers): mu/
-    inv/winv [P, tile], the flag/annotation rows [1, tile] f32."""
-    u = packed // cap
-    v = packed % cap
-    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 0)
-    oh_u = (iota == u[None, :]).astype(jnp.float32)
-    oh_v = (iota == v[None, :]).astype(jnp.float32)
-    pu = jnp.dot(pos, oh_u, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # [3c, tile]
-    pv = jnp.dot(pos, oh_v, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    dvec = pu - pv
-    d2 = jnp.sum((dvec * dvec).reshape(c, 3, tile), axis=1)  # [c, tile]
-    dt = jnp.sqrt(d2)
-    scores = jnp.zeros((c, tile), jnp.float32)
-    npass = jnp.zeros((c, tile), jnp.float32)
-    for p in range(BLOCK_P):
-        x = (dt - mu[p : p + 1, :]) * inv[p : p + 1, :]
-        x2 = x * x
-        w = winv[p : p + 1, :]
-        valid = w > 0.0
-        scores = scores + jnp.where(valid, w * jnp.exp(-0.5 * x2), 0.0)
-        npass = npass + jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+    inv/winv [P, tile], the flag/annotation rows [1, tile] f32.
+
+    Distance selection is ONE signed one-hot matmul: dvec = pos @ (oh_u -
+    oh_v). Each column has two nonzeros (+1/-1); at Precision.HIGHEST the
+    bf16 splits of each f32 position are exact, so the result differs from
+    (pos@oh_u - pos@oh_v) by at most accumulation-order ulps — far inside
+    the 2e-5 screening equality budget. The gaussian block then runs as
+    sublane-packed [P*c, tile] ops (full 8-sublane vregs; the per-p [c,
+    tile] loop at c=4 wasted half of every vector register)."""
+    scores, npass = _gauss_phase(
+        pos, packed, mu, inv, winv, c=c, tile=tile, cap=cap
+    )
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 
