@@ -149,3 +149,109 @@ class ShardedModeler:
             )
             for d, hi in zip(datas, infos)
         ]
+
+
+class ShardedSegmenter:
+    """ONE pocket's segmentation fanned out across the mesh.
+
+    ShardedModeler scales throughput (pockets over mesh slots); this scales
+    single-pocket LATENCY: the kept-hotspot slab is sharded along the
+    hotspot axis while the pyramid, masks, and parameters are replicated —
+    collective-free SPMD (each device decodes its own hotspots). With the
+    mask decoder at ~6.7 ms/hotspot (PERF_NOTES), a worst-case 128-hotspot
+    pocket drops from ~0.86 s on one chip to ~0.11 s + trunk on a v5e-8.
+
+    Equality with the single-device path is exercised in tests on the
+     8-device CPU mesh.
+    """
+
+    def __init__(self, pmnet: PharmacoNet, mesh: Mesh | None = None):
+        self.pmnet = pmnet
+        self.mesh = mesh or data_mesh()
+        self._compiled: dict[tuple, Any] = {}
+
+    def _program(self, k_per_device: int):
+        if k_per_device in self._compiled:
+            return self._compiled[k_per_device]
+        pmnet = self.pmnet
+        mesh = self.mesh
+
+        def body(pyramid, protein_mask, cavity_narrow, tokens, feats, valid):
+            with jax.default_matmul_precision(pmnet.matmul_precision):
+                return pmnet._segment_slab(
+                    list(pyramid), protein_mask, cavity_narrow,
+                    tokens, feats, valid,
+                )
+
+        rep = P()
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, P("data"), P("data"), P("data")),
+                out_specs=P("data"),
+            )
+        )
+        self._compiled[k_per_device] = fn
+        return fn
+
+    def segment(
+        self,
+        data: ProteinData,
+        out: dict[str, Any],
+        keep_idx: np.ndarray,
+    ) -> list[dict[str, Any]]:
+        """Segment the given kept token indices across the mesh; returns
+        hotspot infos (same contract as PharmacoNet._segment_kept)."""
+        pmnet = self.pmnet
+        n_dev = self.mesh.devices.size
+        chunk = pmnet.segmentation_chunk
+        n = len(keep_idx)
+        if n == 0:
+            return []
+        # pad to a multiple of n_dev * chunk so every shard runs whole chunks
+        step = n_dev * chunk
+        k_total = ((n + step - 1) // step) * step
+        idx = np.zeros(k_total, dtype=np.int32)
+        idx[:n] = keep_idx
+        valid = np.zeros(k_total, dtype=bool)
+        valid[:n] = True
+        idx_dev = jnp.asarray(idx)
+        density = self._program(k_total // n_dev)(
+            tuple(out["pyramid"]),
+            out["protein_mask"],
+            out["cavity_narrow"],
+            jnp.asarray(data.tokens)[idx_dev],
+            out["token_features"][idx_dev],
+            jnp.asarray(valid),
+        )
+        return pmnet.hotspot_infos_from_outputs(
+            data, idx, valid, np.asarray(out["rel_scores"]), density
+        )
+
+    def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:
+        """Single-pocket modeling with mesh-parallel segmentation."""
+        pmnet = self.pmnet
+        out = pmnet._device_program(
+            jnp.asarray(data.atom_positions),
+            jnp.asarray(data.atom_features),
+            jnp.asarray(data.atom_valid),
+            jnp.asarray(data.tokens),
+            jnp.asarray(data.token_valid),
+            jnp.asarray(data.center),
+            with_segmentation=False,
+        )
+        keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
+        return self.segment(data, out, keep_idx)
+
+    def run(
+        self,
+        protein_pdb_path: str,
+        ref_ligand_path: str | None = None,
+        center=None,
+    ) -> PharmacophoreModel:
+        data = self.pmnet.parse(protein_pdb_path, ref_ligand_path, center)
+        infos = self.create_density_maps(data)
+        return PharmacophoreModel.create(
+            data.pdbblock, data.center, infos, size=self.pmnet.grid_dim
+        )

@@ -128,3 +128,37 @@ def test_sharded_screener_pallas_engine(rich_model=None):
     ).score_packed(packed)
     np.testing.assert_allclose(sharded, ref, rtol=2e-5, atol=1e-6)
     assert max(ref) > 0.0
+
+
+def test_sharded_segmenter_matches_single(protein_pdb, ref_ligand_pdb):
+    """Single-pocket segmentation sharded along the hotspot axis must
+    reproduce the single-device dynamic-chunk path exactly (pyramid and
+    params replicated, hotspots scattered over the mesh)."""
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.parallel.modeling import ShardedSegmenter
+
+    pmnet = PharmacoNet(
+        weight_path=None,
+        score_threshold=0.0,
+        verbose=False,
+        max_hotspots=8,
+        segmentation_chunk=4,
+        grid_dim=16,
+        model_kwargs=dict(
+            embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=2,
+            token_feature_dim=16,
+        ),
+    )
+    pmnet.focus_threshold = 0.0  # open the cavity gate (random micro net)
+    data = pmnet.parse(protein_pdb, ref_ligand_pdb)
+    single = pmnet.create_density_maps(data)
+    assert len(single) > 4, "fixture should keep more than one chunk"
+
+    seg = ShardedSegmenter(pmnet, mesh=data_mesh())
+    sharded = seg.create_density_maps(data)
+    assert len(sharded) == len(single)
+    for a, b in zip(single, sharded):
+        assert a["nci_type"] == b["nci_type"]
+        assert a["hotspot_position"] == b["hotspot_position"]
+        np.testing.assert_allclose(a["hotspot_score"], b["hotspot_score"], atol=1e-5)
+        np.testing.assert_allclose(a["point_map"], b["point_map"], atol=1e-4)
