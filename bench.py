@@ -229,7 +229,6 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
 
     from pharmaconet_tpu.scoring.batch_screen import (
         BatchScreener,
-        compact_pair_table_tiled,
         host_prune_mask,
         _dfs_scores,
     )
@@ -253,14 +252,13 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
                 rows_hint=int(screener._rows_hint * batch_size),
                 buffer_cache=screener._pack_buffers,
             )
+            # production host path: pair compaction happens ON DEVICE
+            # (score_tiles_fused_compact); host work is pack + prune +
+            # table mask + DFS
             table = np.zeros((len(tb.pair_threshold), tb.cmax), np.float32)
             prune = host_prune_mask(tb, screener.packed_model)
             table[: len(prune)][prune] = -1.0
             _ = _dfs_scores(tb, table)
-            _ = compact_pair_table_tiled(
-                np.zeros((tb.cmax, tb.gtab.shape[0] * 1024), np.float32),
-                tb.pair_end_rows,
-            )
         times.append(_time.perf_counter() - t0)
     import statistics
 
@@ -269,7 +267,7 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
     print(
         f"[bench] {label}: {per_batch*1e3:.0f} ms/batch "
         f"-> {batch_size/per_batch:,.0f} lig/s"
-        + ("" if include_device else " per host core (pack+prune+dfs+compact)"),
+        + ("" if include_device else " per host core (pack+prune+dfs)"),
         file=sys.stderr,
     )
     return batch_size / per_batch

@@ -99,6 +99,12 @@ struct SegBuf {
 
     // current-tile scratch: global node id per row side (-1 = neutral)
     std::vector<int32_t> row_u, row_v;
+    // row-major staging for the open tile: the device layout wants
+    // [3*P][tile] / [7][tile] (per-row writes 4 KB apart — every store a
+    // cache miss); rows are emitted contiguously here ([tile][3*P] /
+    // [tile][7], 96+28 B per row) and transposed once per tile while the
+    // ~100 KB staging block is cache-resident (measured ~2x whole-pack)
+    std::vector<float> gstage, astage;
     int64_t tile_base = 0;  // first row of the open tile
     // O(1) per-row node registration: stamp[g] == tile_counter means g is
     // already in the open tile's node list
@@ -114,21 +120,21 @@ struct SegBuf {
     }
 
     void neutral_row(int64_t row) {
-        const int64_t t = row / tile, off = row % tile;
-        float* g = &gtab[(t * 3 * P) * tile + off];
+        const int64_t off = row % tile;
+        float* g = &gstage[off * (3 * P)];
         for (int p = 0; p < P; ++p) {
-            g[p * tile] = 0.f;                  // mu
-            g[(P + p) * tile] = 1.f;            // inv
-            g[(2 * P + p) * tile] = 0.f;        // winv
+            g[p] = 0.f;          // mu
+            g[P + p] = 1.f;      // inv
+            g[2 * P + p] = 0.f;  // winv
         }
-        float* a = &aux[(t * 7) * tile + off];
-        a[AUX_FB * tile] = 1.f;
-        a[AUX_FP * tile] = 1.f;
-        a[AUX_MNINV * tile] = 0.f;
-        a[AUX_MNHALF * tile] = 0.f;
-        a[AUX_GATE * tile] = 0.f;
-        a[AUX_THR * tile] = INF;
-        a[AUX_SELF * tile] = 1.f;
+        float* a = &astage[off * 7];
+        a[AUX_FB] = 1.f;
+        a[AUX_FP] = 1.f;
+        a[AUX_MNINV] = 0.f;
+        a[AUX_MNHALF] = 0.f;
+        a[AUX_GATE] = 0.f;
+        a[AUX_THR] = INF;
+        a[AUX_SELF] = 1.f;
         row_u[row - tile_base] = -1;
         row_v[row - tile_base] = -1;
     }
@@ -137,6 +143,24 @@ struct SegBuf {
     void close_tile(const LigandBatch& lb) {
         const int64_t t = tile_base / tile;
         const int64_t rows = nst - tile_base;
+        // flush staging -> device layout: per output stream j the writes
+        // are contiguous (one 4 KB run), reads stride the cache-resident
+        // staging block
+        {
+            const int R = 3 * P;
+            float* gt = &gtab[(t * 3 * P) * tile];
+            for (int j = 0; j < R; ++j) {
+                float* dst = gt + (int64_t)j * tile;
+                const float* src = gstage.data() + j;
+                for (int64_t r = 0; r < tile; ++r) dst[r] = src[r * R];
+            }
+            float* at = &aux[(t * 7) * tile];
+            for (int j = 0; j < 7; ++j) {
+                float* dst = at + (int64_t)j * tile;
+                const float* src = astage.data() + j;
+                for (int64_t r = 0; r < tile; ++r) dst[r] = src[r * 7];
+            }
+        }
         std::vector<int32_t>& nodes = tile_nodes;  // registered at emit time
         if ((int)nodes.size() > cap) { rc = -3; return; }
         std::sort(nodes.begin(), nodes.end());
@@ -189,6 +213,8 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
                 int cap, int32_t b0, int32_t b1, SegBuf& o) {
     o.row_u.assign(tile, -1);
     o.row_v.assign(tile, -1);
+    o.gstage.assign((size_t)tile * (size_t)(3 * P), 0.f);
+    o.astage.assign((size_t)tile * 7, 0.f);
     o.stamp.assign((size_t)lb.B * (size_t)lb.ln, -1);
     o.tile_nodes.reserve((size_t)cap + 8);
     MatchArena ma;
@@ -348,37 +374,37 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
                     const int lane = (int)(k % P);
                     if (lane == 0) {
                         row = o.nst++;
-                        const int64_t t = row / tile, off = row % tile;
-                        grow = &o.gtab[(t * 3 * P) * tile + off];
-                        arow = &o.aux[(t * 7) * tile + off];
+                        const int64_t off = row % tile;
+                        grow = &o.gstage[off * (3 * P)];
+                        arow = &o.astage[off * 7];
                         for (int p = 0; p < P; ++p) {
-                            grow[p * tile] = 0.f;
-                            grow[(P + p) * tile] = 1.f;
-                            grow[(2 * P + p) * tile] = 0.f;
+                            grow[p] = 0.f;
+                            grow[P + p] = 1.f;
+                            grow[2 * P + p] = 0.f;
                         }
-                        arow[AUX_FB * tile] = (k == 0) ? 1.f : 0.f;
-                        arow[AUX_FP * tile] = first_row_of_pair ? 1.f : 0.f;
+                        arow[AUX_FB] = (k == 0) ? 1.f : 0.f;
+                        arow[AUX_FP] = first_row_of_pair ? 1.f : 0.f;
                         first_row_of_pair = false;
-                        arow[AUX_MNINV * tile] = 0.f;
-                        arow[AUX_MNHALF * tile] = 0.f;
-                        arow[AUX_GATE * tile] = 0.f;
-                        arow[AUX_THR * tile] = thr;
-                        arow[AUX_SELF * tile] = selff;
+                        arow[AUX_MNINV] = 0.f;
+                        arow[AUX_MNHALF] = 0.f;
+                        arow[AUX_GATE] = 0.f;
+                        arow[AUX_THR] = thr;
+                        arow[AUX_SELF] = selff;
                         o.row_u[row - o.tile_base] = g_u;
                         o.row_v[row - o.tile_base] = g_v;
                         o.register_node(g_u);
                         o.register_node(g_v);
                     }
-                    grow[lane * tile] = mu_row[qn];
+                    grow[lane] = mu_row[qn];
                     const float s = std_row[qn];
-                    grow[(P + lane) * tile] = 1.0f / s;
-                    grow[(2 * P + lane) * tile] = (wp * m.weight[qn]) / s;
+                    grow[P + lane] = 1.0f / s;
+                    grow[2 * P + lane] = (wp * m.weight[qn]) / s;
                     ++k;
                 }
             }
-            arow[AUX_MNINV * tile] = 1.0f / (float)std::max<int64_t>(mn, 1);
-            arow[AUX_MNHALF * tile] = (float)((mn + 1) / 2);
-            arow[AUX_GATE * tile] = gate;
+            arow[AUX_MNINV] = 1.0f / (float)std::max<int64_t>(mn, 1);
+            arow[AUX_MNHALF] = (float)((mn + 1) / 2);
+            arow[AUX_GATE] = gate;
             arow_out = arow;
             if (o.nst % tile == 0) o.close_tile(lb);
         };

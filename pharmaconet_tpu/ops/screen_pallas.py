@@ -345,3 +345,63 @@ def score_blocks_pallas(
     pair_fail_ns = _bounded_segmented_scan(block_fail_ns, flags_pair, depth2)
     failed = pair_fail_ns > thr_ns[None, :]
     return jnp.where(failed & (~self_ns[None, :]), -1.0, pair_score_ns)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
+)
+def score_tiles_fused_compact(
+    pos_blocks: jax.Array,
+    uv: jax.Array,
+    gtab: jax.Array,
+    aux: jax.Array,
+    pair_end_rows: jax.Array,  # [NPpad] i32, -1 = empty pair
+    depth1: int,
+    depth2: int,
+    tile: int = TILE,
+    cap: int = NODE_CAP,
+    interpret: bool = False,
+) -> jax.Array:
+    """score_tiles_fused + device-side pair compaction: gathers the per-pair
+    scores at the layout's pair-end rows on the device and returns
+    [NPpad, C] — ~3.5x less device->host traffic than the expanded [C, NST]
+    table and no host gather pass (the [C, NST] fancy-index compaction was
+    ~80 ms/batch of random reads on one core).
+
+    NOTE measured on v5e-1: this XLA gather costs ~2.2 ms/batch — TPU
+    gathers are a slow path. The production route is
+    score_tiles_fused_rows + a host row-gather over ascending pair-end
+    rows (~5 ms/core); this variant remains for mesh-sharded callers where
+    the gather overlaps other shards."""
+    expanded = score_tiles_fused(
+        pos_blocks, uv, gtab, aux, depth1, depth2,
+        tile=tile, cap=cap, interpret=interpret,
+    )
+    idx = jnp.clip(pair_end_rows, 0, None)
+    table = expanded[:, idx].T  # [NPpad, C]
+    return jnp.where(pair_end_rows[:, None] >= 0, table, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
+)
+def score_tiles_fused_rows(
+    pos_blocks: jax.Array,
+    uv: jax.Array,
+    gtab: jax.Array,
+    aux: jax.Array,
+    depth1: int,
+    depth2: int,
+    tile: int = TILE,
+    cap: int = NODE_CAP,
+    interpret: bool = False,
+) -> jax.Array:
+    """score_tiles_fused transposed to [NST, C] on the device, so the host's
+    pair compaction (pair_end_rows are ascending by construction) reads
+    C-contiguous 16-byte rows sequentially instead of striding four 8 MB
+    conformer rows (~80 ms -> ~5 ms/batch on one core)."""
+    expanded = score_tiles_fused(
+        pos_blocks, uv, gtab, aux, depth1, depth2,
+        tile=tile, cap=cap, interpret=interpret,
+    )
+    return expanded.T

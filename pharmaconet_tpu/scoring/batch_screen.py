@@ -921,7 +921,7 @@ class BatchScreener:
         """Fast path: one-pass C++ pack straight to the tile-major layout +
         the fused Pallas kernel. Returns None when the native packer is
         unavailable (callers fall back to the reference path)."""
-        from ..ops.screen_pallas import score_tiles_fused
+        from ..ops.screen_pallas import score_tiles_fused_rows
         from .tiled_pack import build_tiled_batch
 
         tb = build_tiled_batch(
@@ -932,15 +932,21 @@ class BatchScreener:
         if tb is None:
             return None
         self._rows_hint = 0.7 * self._rows_hint + 0.3 * (tb.nst / max(1, len(live)))
-        expanded = np.asarray(
-            score_tiles_fused(
+        # device emits [NST, C] (transposed); the host pair compaction then
+        # reads C-contiguous rows at ascending pair-end offsets (~5 ms/core
+        # vs ~80 ms striding the [C, NST] layout, and vs ~2.2 ms/batch for
+        # an on-device XLA gather — TPU gathers are a slow path)
+        expanded_rows = np.asarray(
+            score_tiles_fused_rows(
                 jnp.asarray(tb.pos_blocks), jnp.asarray(tb.uv),
                 jnp.asarray(tb.gtab), jnp.asarray(tb.aux),
                 depth1=tb.depth1, depth2=tb.depth2,
                 interpret=self.pallas_interpret,
             )
         )
-        table = compact_pair_table_tiled(expanded, tb.pair_end_rows)
+        pend = tb.pair_end_rows
+        table = expanded_rows[np.clip(pend, 0, None)]
+        table[pend < 0] = 0.0
         prune = host_prune_mask(tb, self.packed_model)
         table[: len(prune)][prune] = -1.0
         return _dfs_scores(tb, table)
