@@ -56,6 +56,12 @@ class ShardedScreener(BatchScreener):
         # contiguous shards with common array shapes
         bounds = np.linspace(0, len(live_packed), n_dev + 1).astype(int)
         shards = [live_packed[bounds[i] : bounds[i + 1]] for i in range(n_dev)]
+        if self._resolve_engine() == "pallas" and self.native_pack is not False:
+            scores = self._score_shards_tiled_native(shards, cmax)
+            if scores is not None:
+                for (i, _), s in zip(live, scores):
+                    out[i] = s
+                return out
         batches = [
             build_batch(self.packed_model, s, ln=ln, cmax=cmax, lmax=lmax)
             for s in shards
@@ -166,3 +172,77 @@ class ShardedScreener(BatchScreener):
         for (i, _), s in zip(live, scores):
             out[i] = s
         return out
+
+    def _score_shards_tiled_native(
+        self, shards: list[list[PackedLigand]], cmax: int
+    ) -> list[float] | None:
+        """Fast sharded path: per-shard one-pass C++ tiled pack + the fused
+        Pallas kernel under shard_map (one program, no cross-device
+        communication). Returns None when the native packer is unavailable
+        (callers fall back to the Python-prep shard path)."""
+        from ..ops.screen_pallas import score_tiles_fused_rows
+        from ..scoring.tiled_pack import build_tiled_batch
+
+        if not hasattr(self, "_shard_pack_buffers"):
+            self._shard_pack_buffers = [dict() for _ in shards]
+        if len(self._shard_pack_buffers) != len(shards):
+            self._shard_pack_buffers = [dict() for _ in shards]
+
+        def pack(width=None):
+            tbs = []
+            for k, shard in enumerate(shards):
+                tb = build_tiled_batch(
+                    self.packed_model, shard, threads=self.pack_threads,
+                    rows_hint=int(self._rows_hint * len(shard)),
+                    width=width, cmax=cmax,
+                    buffer_cache=self._shard_pack_buffers[k],
+                )
+                if tb is None:
+                    return None
+                tbs.append(tb)
+            return tbs
+
+        tbs = pack()
+        if tbs is None:
+            return None
+        widths = {tb.gtab.shape[0] for tb in tbs}
+        if len(widths) > 1:
+            # shards bucketed to different tile counts: repack pinned to the
+            # common maximum (the C++ neutral-fills the extra tiles)
+            tbs = pack(width=max(widths) * 1024)
+            if tbs is None:
+                return None
+        d1 = max(tb.depth1 for tb in tbs)
+        d2 = max(tb.depth2 for tb in tbs)
+        interpret = self.pallas_interpret
+        stacked = [
+            jnp.asarray(np.stack([getattr(tb, f) for tb in tbs]))
+            for f in ("pos_blocks", "uv", "gtab", "aux")
+        ]
+
+        @jax.jit
+        def sharded_score(pos, uv, gtab, aux):
+            def per_shard(pos, uv, gtab, aux):
+                return score_tiles_fused_rows(
+                    pos[0], uv[0], gtab[0], aux[0],
+                    depth1=d1, depth2=d2, interpret=interpret,
+                )[None]
+
+            return jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS),) * 4,
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )(pos, uv, gtab, aux)
+
+        tables = np.asarray(sharded_score(*stacked))  # [n_dev, NST, C]
+        scores: list[float] = []
+        for k, tb in enumerate(tbs):
+            pend = tb.pair_end_rows
+            table = tables[k][np.clip(pend, 0, None)]
+            table[pend < 0] = 0.0
+            prune = host_prune_mask(tb, self.packed_model)
+            table[: len(prune)][prune] = -1.0
+            scores.extend(_dfs_scores(tb, table))
+        return scores

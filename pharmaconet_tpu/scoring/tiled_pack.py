@@ -68,11 +68,14 @@ def build_tiled_batch(
     rows_hint: int | None = None,
     width: int | None = None,
     buffer_cache: dict | None = None,
+    cmax: int | None = None,
 ) -> TiledBatch | None:
     """Pack ligands straight into the tiled device layout (C++; None when
     the native library is unavailable). `rows_hint` seeds the width guess
     (callers keep a running rows-per-ligand average); `width` pins the
-    final padded width exactly (multi-shard batches must share shapes).
+    final padded width exactly and `cmax` the conformer-slot count
+    (multi-shard batches must share shapes; phantom conformer slots are
+    zero-padded and never read — the DFS consumes per-ligand counts).
 
     `buffer_cache` (a dict owned by the caller) reuses output arrays
     across batches of the same padded shape: numpy releases >128 KB blocks
@@ -85,7 +88,7 @@ def build_tiled_batch(
     if fn is None:
         return None
 
-    fl = _flatten_ligands(model, ligands)
+    fl = _flatten_ligands(model, ligands, cmax=cmax)
     num_ligands = len(ligands)
     node_pos, num_conf, lig_center, lig_size = _ligand_arrays(
         ligands, fl.ln, fl.cmax, fl.lmax
