@@ -373,24 +373,27 @@ def main():
             return total
         return f
 
-    f8, f16 = make_unrolled(8), make_unrolled(16)
+    f8, f32 = make_unrolled(8), make_unrolled(32)
     _ = float(f8(args))
-    _ = float(f16(args))
+    _ = float(f32(args))
 
-    def timed(f):
+    def timed_once(f):
         t0 = time.time()
-        outs = [f(args) for _ in range(iters)]
-        _ = [float(o) for o in outs]
-        return (time.time() - t0) / iters
+        _ = float(f(args))
+        return time.time() - t0
 
-    # median of three marginal estimates (relay contention varies; a single
-    # estimate can even go negative when contention hits the unroll-8 run)
+    # per-batch cost = slope between unroll-8 and unroll-32 single-dispatch
+    # programs. Relay latency varies by several ms between dispatches, so
+    # the slope is taken per PAIRED sample (t32_i - t8_i)/24, interleaved,
+    # and the median of max(iters, 7) pairs is reported — a wide unroll
+    # spread (24 batches) keeps one hiccup from swinging the estimate.
     import statistics
 
     estimates = []
-    for _ in range(3):
-        t8, t16 = timed(f8), timed(f16)
-        estimates.append(max((t16 - t8) / 8, 1e-9))
+    for _ in range(max(iters, 7)):
+        t8 = timed_once(f8)
+        t32 = timed_once(f32)
+        estimates.append(max((t32 - t8) / 24, 1e-9))
     per_batch = statistics.median(estimates)
     throughput = batch_size / per_batch
     elapsed = per_batch * iters

@@ -38,8 +38,8 @@ BLOCK_P = 8  # model-node pairs per sub-block (matches batch_screen.BLOCK_P)
 
 def _gauss_phase(pos, packed, mu, inv, winv, *, c: int, tile: int, cap: int):
     """Shared gaussian phase (see _fused_body notes on the signed one-hot
-    matmul and the sublane-packed [P*c, tile] layout). Returns (scores,
-    npass), each [c, tile]."""
+    matmul and the sublane-packed [P*c, tile] layout). Returns stacked
+    [2c, tile]: rows [0,c) scores, [c,2c) pass counts."""
     u = packed // cap
     v = packed % cap
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 0)
@@ -59,19 +59,20 @@ def _gauss_phase(pos, packed, mu, inv, winv, *, c: int, tile: int, cap: int):
     valid = winv_b > 0.0
     term = jnp.where(valid, winv_b * jnp.exp(-0.5 * x2), 0.0)
     hit = jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+    # two 3D P-sums + one concat: rows [0,c) scores, [c,2c) pass counts.
+    # (A single stacked 4D reduce over [2,P,c,tile] measured ~0.3 ms/batch
+    # SLOWER — Mosaic lowers the 4D strided reduce poorly.)
     scores = jnp.sum(term.reshape(BLOCK_P, c, tile), axis=0)
     npass = jnp.sum(hit.reshape(BLOCK_P, c, tile), axis=0)
-    return scores, npass
+    return jnp.concatenate([scores, npass], axis=0)
 
 
 def _gauss_kernel(pos_ref, uv_ref, mu_ref, inv_ref, winv_ref, out_ref,
                   *, c: int, tile: int, cap: int):
-    scores, npass = _gauss_phase(
+    out_ref[:, :] = _gauss_phase(
         pos_ref[0], uv_ref[0, :], mu_ref[:, :], inv_ref[:, :], winv_ref[:, :],
         c=c, tile=tile, cap=cap,
     )
-    out_ref[0:c, :] = scores
-    out_ref[c : 2 * c, :] = npass
 
 
 def gaussian_phase_pallas(
@@ -119,9 +120,9 @@ def _scan_bounded_tile(val, seen, depth: int, lanes):
     shift = 1
     for _ in range(depth):
         can = (lanes >= shift).astype(jnp.float32)  # [1, tile]
-        val_s = pltpu.roll(val, shift, axis=1) * can
+        m = can * (1.0 - seen)  # one combined [1, tile] row mask
         seen_s = jnp.maximum(pltpu.roll(seen, shift, axis=1) * can, 1.0 - can)
-        val = val + val_s * (1.0 - seen)
+        val = val + pltpu.roll(val, shift, axis=1) * m
         seen = jnp.maximum(seen, seen_s)
         shift *= 2
     return val
@@ -145,16 +146,14 @@ def _fused_body(out_ref, pos, packed, mu, inv, winv, fb, fp, mninv, mnhalf,
     the 2e-5 screening equality budget. The gaussian block then runs as
     sublane-packed [P*c, tile] ops (full 8-sublane vregs; the per-p [c,
     tile] loop at c=4 wasted half of every vector register)."""
-    scores, npass = _gauss_phase(
+    stacked = _gauss_phase(
         pos, packed, mu, inv, winv, c=c, tile=tile, cap=cap
     )
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 
     # sub -> block (scores and pass counts share one stacked scan)
-    sb = _scan_bounded_tile(
-        jnp.concatenate([scores, npass], axis=0), fb, depth1, lanes
-    )
+    sb = _scan_bounded_tile(stacked, fb, depth1, lanes)
     scan_s, scan_p = sb[:c], sb[c:]
     block_score = scan_s * mninv
     block_fail = jnp.where(scan_p < mnhalf, gate, 0.0)
