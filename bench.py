@@ -396,7 +396,6 @@ def main():
         estimates.append(max((t32 - t8) / 24, 1e-9))
     per_batch = statistics.median(estimates)
     throughput = batch_size / per_batch
-    elapsed = per_batch * iters
 
     print(
         f"[bench] device phase: {per_batch * 1e3:.2f} ms/batch "
