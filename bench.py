@@ -252,10 +252,13 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
                 rows_hint=int(screener._rows_hint * batch_size),
                 buffer_cache=screener._pack_buffers,
             )
-            # production host path: pair compaction happens ON DEVICE
-            # (score_tiles_fused_compact); host work is pack + prune +
-            # table mask + DFS
-            table = np.zeros((len(tb.pair_threshold), tb.cmax), np.float32)
+            # production host path: pack + pair compaction (row-gather
+            # over the device's [NST, C] output; a zero stand-in stands
+            # for the device result) + prune + table mask + DFS
+            rows = np.zeros((tb.gtab.shape[0] * tb.uv.shape[1], tb.cmax), np.float32)
+            pend = tb.pair_end_rows
+            table = rows[np.clip(pend, 0, None)]
+            table[pend < 0] = 0.0
             prune = host_prune_mask(tb, screener.packed_model)
             table[: len(prune)][prune] = -1.0
             _ = _dfs_scores(tb, table)
@@ -267,7 +270,7 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
     print(
         f"[bench] {label}: {per_batch*1e3:.0f} ms/batch "
         f"-> {batch_size/per_batch:,.0f} lig/s"
-        + ("" if include_device else " per host core (pack+prune+dfs)"),
+        + ("" if include_device else " per host core (pack+compact+prune+dfs)"),
         file=sys.stderr,
     )
     return batch_size / per_batch
@@ -289,7 +292,9 @@ def main():
         print(json.dumps({
             "metric": "proxy_inference_throughput", "value": round(value, 1),
             "unit": "molecules/sec/chip",
-            "vs_baseline": round(value / 100000.0, 3),
+            # BASELINE.json defines no numeric target for proxy inference
+            # (config #5); the 100k/s target applies to screening only
+            "vs_baseline": None,
         }))
         return
     if mode in ("host", "e2e"):
@@ -319,12 +324,15 @@ def main():
         file=sys.stderr,
     )
 
-    # transfer once; time via the marginal cost between unroll-8 and
-    # unroll-16 programs (single dispatch each, scalar readback forces
-    # execution). Both programs are DEVICE-bound, so the slope is the true
-    # sustained per-batch kernel cost: an unroll-1 baseline is relay-
-    # dispatch-bound (~25 ms floor on this link) and subtracting it
-    # overestimates throughput ~4x (measured t(k) = 2.4 + 8.9k ms, k>=4)
+    # transfer once; time via the slope of wall time over unroll-8 vs
+    # unroll-32 single-dispatch programs (scalar readback forces
+    # execution). Both are DEVICE-bound, so the slope is the sustained
+    # per-batch kernel cost. Slopes are taken per PAIRED sample and the
+    # median reported: relay dispatch latency varies by several ms, so an
+    # unroll-1 baseline (dispatch-bound, ~26 ms fixed) or differencing two
+    # independently-measured medians over a narrow unroll gap both
+    # mis-estimate badly — a 5-point fit over unroll 4-64 reproduces this
+    # estimator to ~2% (PERF_NOTES.md 'measurement correction')
     import os
 
     import jax.numpy as jnp

@@ -450,9 +450,17 @@ class PharmacoNet:
         )
         keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
         if self.verbose:
+            n, slabs, chunks = len(keep_idx), 0, 0
+            while n > 0:
+                if n >= (3 * self.max_hotspots) // 4:
+                    n -= min(n, self.max_hotspots)
+                    slabs += 1
+                else:
+                    n -= min(n, self.segmentation_chunk)
+                    chunks += 1
             logger.info(
-                "pocket keeps %d hotspots: %d segmentation chunk(s) of %d",
-                len(keep_idx), -(-len(keep_idx) // self.segmentation_chunk),
+                "pocket keeps %d hotspots: %d slab(s) of %d + %d chunk(s) of %d",
+                len(keep_idx), slabs, self.max_hotspots, chunks,
                 self.segmentation_chunk,
             )
         return self._segment_kept(data, out, keep_idx)

@@ -349,41 +349,6 @@ def score_blocks_pallas(
 @functools.partial(
     jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
 )
-def score_tiles_fused_compact(
-    pos_blocks: jax.Array,
-    uv: jax.Array,
-    gtab: jax.Array,
-    aux: jax.Array,
-    pair_end_rows: jax.Array,  # [NPpad] i32, -1 = empty pair
-    depth1: int,
-    depth2: int,
-    tile: int = TILE,
-    cap: int = NODE_CAP,
-    interpret: bool = False,
-) -> jax.Array:
-    """score_tiles_fused + device-side pair compaction: gathers the per-pair
-    scores at the layout's pair-end rows on the device and returns
-    [NPpad, C] — ~3.5x less device->host traffic than the expanded [C, NST]
-    table and no host gather pass (the [C, NST] fancy-index compaction was
-    ~80 ms/batch of random reads on one core).
-
-    NOTE measured on v5e-1: this XLA gather costs ~2.2 ms/batch — TPU
-    gathers are a slow path. The production route is
-    score_tiles_fused_rows + a host row-gather over ascending pair-end
-    rows (~5 ms/core); this variant remains for mesh-sharded callers where
-    the gather overlaps other shards."""
-    expanded = score_tiles_fused(
-        pos_blocks, uv, gtab, aux, depth1, depth2,
-        tile=tile, cap=cap, interpret=interpret,
-    )
-    idx = jnp.clip(pair_end_rows, 0, None)
-    table = expanded[:, idx].T  # [NPpad, C]
-    return jnp.where(pair_end_rows[:, None] >= 0, table, 0.0)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
-)
 def score_tiles_fused_rows(
     pos_blocks: jax.Array,
     uv: jax.Array,

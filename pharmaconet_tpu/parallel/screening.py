@@ -205,11 +205,17 @@ class ShardedScreener(BatchScreener):
         tbs = pack()
         if tbs is None:
             return None
+        total_ligs = sum(len(s) for s in shards)
+        self._rows_hint = 0.7 * self._rows_hint + 0.3 * (
+            sum(tb.nst for tb in tbs) / max(1, total_ligs)
+        )
         widths = {tb.gtab.shape[0] for tb in tbs}
         if len(widths) > 1:
             # shards bucketed to different tile counts: repack pinned to the
             # common maximum (the C++ neutral-fills the extra tiles)
-            tbs = pack(width=max(widths) * 1024)
+            from ..scoring.screen_tiles import TILE
+
+            tbs = pack(width=max(widths) * TILE)
             if tbs is None:
                 return None
         d1 = max(tb.depth1 for tb in tbs)
