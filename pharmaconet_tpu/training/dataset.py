@@ -7,12 +7,15 @@ pickle maps pocket code -> [(ligand_id, smiles, affinity)].
 
 from __future__ import annotations
 
+import logging
 import pickle
 from dataclasses import dataclass
 from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("pharmaconet_tpu")
 
 from ..proxy.data import batch_graphs, smi2graph
 from ..proxy.tacogfn import graph_batch_to_arrays
@@ -83,6 +86,13 @@ class PocketLigandDataset:
                 [i["hotspot_position"] for i in hotspot_infos], dtype=np.float32
             )
         else:
+            # a hotspot-less pocket makes the interaction-sum head predict
+            # exactly 0 for every ligand (empty K axis) — the sample
+            # contributes a constant, zero-gradient loss term
+            logger.warning(
+                "pocket %s produced no hotspots; its loss term has zero "
+                "gradient (check weights / thresholds)", code,
+            )
             hotspot_features = np.zeros((0, 192), dtype=np.float32)
             hotspot_positions = np.zeros((0, 3), dtype=np.float32)
 

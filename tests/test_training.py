@@ -19,6 +19,11 @@ def train_setup(tmp_path_factory, protein_pdb, ref_ligand_pdb):
         weight_path=None, score_threshold=0.0, verbose=False,
         max_hotspots=8, segmentation_chunk=4, grid_dim=16, model_kwargs=MICRO,
     )
+    # open the cavity gate so the random micro net KEEPS hotspots: a
+    # hotspot-less pocket gives the interaction-sum head an empty K axis
+    # (prediction identically 0, zero gradients) — the convergence test
+    # below exists to catch exactly that degeneracy
+    pmnet.focus_threshold = 0.0
     center = pmnet.get_center(ref_ligand_pdb)
 
     protein_dir = root / "proteins"
@@ -112,3 +117,19 @@ def test_trainer_resume(train_setup):
     # params at save time differ from final; check structure + finiteness
     assert len(flat1) == len(flat2)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat2)
+
+
+def test_train_step_converges(train_setup):
+    """Overfitting one fixed batch must reduce the loss monotonically-ish
+    (a wiring bug in grads/optimizer would leave it flat or diverging)."""
+    config, pmnet = train_setup
+    config.log_dir = config.log_dir + "_conv"
+    trainer = Trainer(config, pmnet=pmnet)
+    items = [trainer.train_dataset[0].loss_args()]
+    params, opt_state = trainer.params, trainer.opt_state
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss = trainer._train_step(params, opt_state, items)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
