@@ -115,7 +115,9 @@ class PharmacoNet:
 
         voxelizer: 'xla' (ops/voxelize.py, default) or 'pallas'
         (ops/voxelize_pallas.py fused kernel — equality with the XLA path is
-        enforced by tests/test_voxelize.py and was verified on real TPU)."""
+        enforced by tests/test_voxelize.py and was verified on real TPU;
+        measured on v5e-1 the XLA path is 2.6x faster at 64-cube/33ch,
+        5.3 vs 13.6 ms, so it stays the default)."""
         assert voxelizer in ("xla", "pallas")
         self.voxelizer = voxelizer
         self.matmul_precision = matmul_precision
