@@ -73,15 +73,27 @@ def main(args) -> int:
     results: list[tuple[str, float]] = []
 
     if args.library:
-        # prepacked library: skip parsing/perception entirely
+        # prepacked library: skip parsing/perception entirely; the executor
+        # overlaps C++ packing (GIL-released worker threads) with device
+        # dispatch + host postprocessing, preserving score order
+        from pharmaconet_tpu.scoring.executor import ScreeningExecutor
         from pharmaconet_tpu.scoring.library import load_library
 
         packed, names = load_library(args.library)
         print(f"loaded {len(packed)} prepacked ligands")
-        for start in range(0, len(packed), args.batch_size):
-            chunk = packed[start : start + args.batch_size]
-            scores = screener.score_packed(chunk)
-            results.extend(zip(names[start : start + args.batch_size], scores))
+        if isinstance(screener, ShardedScreener):
+            # mesh path: shard_map batches sequentially (each batch already
+            # spans every device)
+            for start in range(0, len(packed), args.batch_size):
+                chunk = packed[start : start + args.batch_size]
+                scores = screener.score_packed(chunk)
+                results.extend(zip(names[start : start + args.batch_size], scores))
+        else:
+            executor = ScreeningExecutor(
+                screener, batch_size=args.batch_size,
+                pack_workers=max(1, min(4, pack_threads)),
+            )
+            results.extend(zip(names, executor.score_packed(packed)))
     else:
         assert args.library_dir, "provide -d/--library_dir or --library"
         library = Path(args.library_dir)

@@ -932,24 +932,39 @@ class BatchScreener:
         if tb is None:
             return None
         self._rows_hint = 0.7 * self._rows_hint + 0.3 * (tb.nst / max(1, len(live)))
-        # device emits [NST, C] (transposed); the host pair compaction then
-        # reads C-contiguous rows at ascending pair-end offsets (~5 ms/core
-        # vs ~80 ms striding the [C, NST] layout, and vs ~2.2 ms/batch for
-        # an on-device XLA gather — TPU gathers are a slow path)
-        expanded_rows = np.asarray(
-            score_tiles_fused_rows(
-                jnp.asarray(tb.pos_blocks), jnp.asarray(tb.uv),
-                jnp.asarray(tb.gtab), jnp.asarray(tb.aux),
-                depth1=tb.depth1, depth2=tb.depth2,
-                interpret=self.pallas_interpret,
-            )
+        return self.score_tb(tb)
+
+    def dispatch_tb(self, tb) -> jax.Array:
+        """Launch the fused kernel on a packed tiled batch (async). NOTE:
+        on the CPU backend jnp.asarray may alias the host arrays, so a tb
+        whose buffers come from a buffer_cache must stay unmodified until
+        the result is materialized (the executor releases pack slots only
+        after postprocess_tb)."""
+        from ..ops.screen_pallas import score_tiles_fused_rows
+
+        return score_tiles_fused_rows(
+            jnp.asarray(tb.pos_blocks), jnp.asarray(tb.uv),
+            jnp.asarray(tb.gtab), jnp.asarray(tb.aux),
+            depth1=tb.depth1, depth2=tb.depth2,
+            interpret=self.pallas_interpret,
         )
+
+    def postprocess_tb(self, tb, expanded_rows_dev) -> list[float]:
+        """Host tail for one tiled batch: pair compaction (ascending
+        C-contiguous row reads; ~5 ms/core vs ~80 ms striding the [C, NST]
+        layout, and vs ~2.2 ms/batch for an on-device XLA gather — TPU
+        gathers are a slow path), prune, and the assignment DFS."""
+        expanded_rows = np.asarray(expanded_rows_dev)
         pend = tb.pair_end_rows
         table = expanded_rows[np.clip(pend, 0, None)]
         table[pend < 0] = 0.0
         prune = host_prune_mask(tb, self.packed_model)
         table[: len(prune)][prune] = -1.0
         return _dfs_scores(tb, table)
+
+    def score_tb(self, tb) -> list[float]:
+        """Device + host tail for one packed tiled batch."""
+        return self.postprocess_tb(tb, self.dispatch_tb(tb))
 
     def device_args_pallas(self, batch: ScreenBatch, ns_tiled: int | None = None):
         """Host prep for the Pallas engine: untiled lane-major prep

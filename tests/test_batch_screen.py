@@ -394,3 +394,20 @@ def test_native_tiled_pack_threads_score_equal(rich_model, test_ligands):
     np.testing.assert_allclose(
         fast.score_ligands(test_ligands), host, rtol=2e-5, atol=1e-6
     )
+
+
+def test_screening_executor_matches_sequential():
+    """Overlapped executor (2 pack workers, private buffer caches) must
+    reproduce sequential score_packed exactly, order preserved."""
+    from bench import make_synthetic_ligands, make_synthetic_model
+    from pharmaconet_tpu.scoring.batch_screen import BatchScreener
+    from pharmaconet_tpu.scoring.executor import ScreeningExecutor
+
+    model = make_synthetic_model(num_clusters=10, seed=5)
+    packed = make_synthetic_ligands(96, seed=6)
+    screener = BatchScreener(model, engine="pallas", pallas_interpret=True)
+    seq = screener.score_packed(packed)
+    ex = ScreeningExecutor(screener, batch_size=32, pack_workers=2)
+    ovl = ex.score_packed(packed)
+    np.testing.assert_allclose(ovl, seq, rtol=1e-6, atol=1e-7)
+    assert max(seq) > 0.0
