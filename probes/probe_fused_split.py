@@ -1,17 +1,21 @@
-"""TPU probe: where does the fused screening kernel's 1.35 ms go?
+"""TPU probe: where does the fused screening kernel's ~2.0 ms go?
 
-Ablations of _fused_kernel_v2, timed with the marginal-unroll method
-(unroll 8 vs 16) on the production 2048-ligand tiled batch:
-  full        — production kernel
-  noscan      — gaussian phase only (scores written, scans+fail skipped)
-  noexp       — full, with exp(x) replaced by x (VPU transcendental cost)
-  nohot       — full, with the one-hot MXU selection replaced by a
-                constant positions row (selection cost)
+Ablations of the CURRENT _fused_body (signed one-hot matmul, sublane-
+packed gaussian block), each timed with the robust unroll-slope fit
+(least squares over unroll {4, 16, 64}; see PERF_NOTES "measurement
+correction" for why narrow-gap median differencing is untrustworthy):
+
+  full    — production kernel
+  noscan  — gaussian phase only (scores written, scans+fail skipped)
+  noexp   — full, with exp(x) replaced by x
+  nohot   — full, with the signed one-hot MXU selection replaced by a
+            constant dvec (removes the [cap,tile] one-hot build AND the
+            HIGHEST matmul)
+  gauss0  — streams only: constant dvec, no exp, no scans
 """
 
 from __future__ import annotations
 
-import functools
 import statistics
 import sys
 import time
@@ -28,8 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 from bench import make_synthetic_ligands, make_synthetic_model
-
-sys.path.insert(0, "/root/repo/tests")
 
 from pharmaconet_tpu.ops import screen_pallas as sp
 from pharmaconet_tpu.scoring.batch_screen import BatchScreener
@@ -63,41 +65,43 @@ def make_kernel(mode):
         mu, inv, winv = g[0], g[1], g[2]
         fb, fp = a[0:1, :], a[1:2, :]
         mninv, mnhalf, gate, thr, selff = a[2:3, :], a[3:4, :], a[4:5, :], a[5:6, :], a[6:7, :]
-        u = packed // CAP
-        v = packed % CAP
-        if mode == "nohot":
-            pu = jnp.broadcast_to(posv[:, 0:1], (THREEC, TILE))
-            pv = jnp.broadcast_to(posv[:, 1:2], (THREEC, TILE))
+        if mode in ("nohot", "gauss0"):
+            dt = jnp.full((C, TILE), 1.5, jnp.float32) + posv[0, 0]
         else:
+            u = packed // CAP
+            v = packed % CAP
             iota = jax.lax.broadcasted_iota(jnp.int32, (CAP, TILE), 0)
-            oh_u = (iota == u[None, :]).astype(jnp.float32)
-            oh_v = (iota == v[None, :]).astype(jnp.float32)
-            pu = jnp.dot(posv, oh_u, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            pv = jnp.dot(posv, oh_v, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        dvec = pu - pv
-        d2 = jnp.sum((dvec * dvec).reshape(C, 3, TILE), axis=1)
-        dt = jnp.sqrt(d2)
-        scores = jnp.zeros((C, TILE), jnp.float32)
-        npass = jnp.zeros((C, TILE), jnp.float32)
-        for p in range(BLOCK_P):
-            x = (dt - mu[p : p + 1, :]) * inv[p : p + 1, :]
-            x2 = x * x
-            w = winv[p : p + 1, :]
-            valid = w > 0.0
-            e = x2 if mode == "noexp" else jnp.exp(-0.5 * x2)
-            scores = scores + jnp.where(valid, w * e, 0.0)
-            npass = npass + jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
-        if mode == "noscan":
-            out_ref[:, :] = scores + npass
+            oh = (iota == u[None, :]).astype(jnp.float32) - (
+                iota == v[None, :]
+            ).astype(jnp.float32)
+            dvec = jnp.dot(posv, oh, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.sum((dvec * dvec).reshape(C, 3, TILE), axis=1)
+            dt = jnp.sqrt(d2)
+        dt_b = jnp.concatenate([dt] * BLOCK_P, axis=0)
+        mu_b = jnp.concatenate([mu[:, None, :]] * C, axis=1).reshape(BLOCK_P * C, TILE)
+        inv_b = jnp.concatenate([inv[:, None, :]] * C, axis=1).reshape(BLOCK_P * C, TILE)
+        winv_b = jnp.concatenate([winv[:, None, :]] * C, axis=1).reshape(BLOCK_P * C, TILE)
+        x = (dt_b - mu_b) * inv_b
+        x2 = x * x
+        valid = winv_b > 0.0
+        e = x2 if mode in ("noexp", "gauss0") else jnp.exp(-0.5 * x2)
+        term = jnp.where(valid, winv_b * e, 0.0)
+        hit = jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+        scores = jnp.sum(term.reshape(BLOCK_P, C, TILE), axis=0)
+        npass = jnp.sum(hit.reshape(BLOCK_P, C, TILE), axis=0)
+        stacked = jnp.concatenate([scores, npass], axis=0)
+        if mode in ("noscan", "gauss0"):
+            out_ref[:, :] = stacked[:C] + stacked[C:]
             return
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        sb = sp._scan_bounded_tile(jnp.concatenate([scores, npass], axis=0), fb, D1, lanes)
+        sb = sp._scan_bounded_tile(stacked, fb, D1, lanes)
         scan_s, scan_p = sb[:C], sb[C:]
         block_score = scan_s * mninv
         block_fail = jnp.where(scan_p < mnhalf, gate, 0.0)
-        pb = sp._scan_bounded_tile(jnp.concatenate([block_score, block_fail], axis=0), fp, D2, lanes)
+        pb = sp._scan_bounded_tile(
+            jnp.concatenate([block_score, block_fail], axis=0), fp, D2, lanes
+        )
         pair_score, pair_fail = pb[:C], pb[C:]
         failed = pair_fail > thr
         out_ref[:, :] = jnp.where(failed & (selff == 0.0), -1.0, pair_score)
@@ -112,44 +116,42 @@ def make_kernel(mode):
         ],
         out_specs=pl.BlockSpec((C, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
     )
-    call = pl.pallas_call(
+    return pl.pallas_call(
         body, out_shape=jax.ShapeDtypeStruct((C, T * TILE), jnp.float32),
         grid_spec=grid_spec,
     )
-    return call
 
 
-def timed_unroll(call, label):
+def slope(call, label):
     def make(k):
         @jax.jit
         def f(pos, uv3, gtab, aux):
             acc = jnp.zeros((), jnp.float32)
-            x = uv3
             for i in range(k):
-                out = call(pos, (x + i) % (CAP * CAP), gtab, aux)
+                out = call(pos + jnp.float32(i) * 1e-6, uv3, gtab, aux)
                 acc = acc + out[0, 0]
             return acc
         return f
 
     uv3 = uv.reshape(T, 1, TILE)
-    f8, f16 = make(8), make(16)
-    float(f8(pos, uv3, gtab, aux))
-    float(f16(pos, uv3, gtab, aux))
-
-    def run(f):
+    fs = {k: make(k) for k in (4, 16, 64)}
+    for f in fs.values():
+        float(f(pos, uv3, gtab, aux))
+    row = []
+    for k, f in fs.items():
         ts = []
         for _ in range(5):
             t0 = time.time()
             float(f(pos, uv3, gtab, aux))
             ts.append(time.time() - t0)
-        return statistics.median(ts)
+        row.append((k, statistics.median(ts)))
+    ks = np.array([k for k, _ in row], float)
+    ts = np.array([t for _, t in row])
+    A = np.vstack([ks, np.ones_like(ks)]).T
+    sl, icept = np.linalg.lstsq(A, ts, rcond=None)[0]
+    print(f"{label}: {sl * 1e3:.2f} ms/batch (+{icept * 1e3:.0f} fixed)", flush=True)
 
-    t8, t16 = run(f8), run(f16)
-    per = (t16 - t8) / 8
-    print(f"{label}: {per * 1e3:.2f} ms/batch (unroll8 {t8 * 1e3:.0f} ms, unroll16 {t16 * 1e3:.0f} ms)", flush=True)
-    return per
 
-
-for mode in ("full", "noscan", "noexp", "nohot"):
-    timed_unroll(make_kernel(mode), mode)
+for mode in ("full", "noscan", "noexp", "nohot", "gauss0"):
+    slope(make_kernel(mode), mode)
 print("done", flush=True)
