@@ -7,7 +7,17 @@ from .train_step import make_dummy_batch, make_optimizer, make_train_step
 __all__ = [
     "DevAffinityModel",
     "Config",
+    "Trainer",
     "make_dummy_batch",
     "make_optimizer",
     "make_train_step",
 ]
+
+
+def __getattr__(name):
+    # lazy: Trainer pulls the full data pipeline (optax, prefetch thread)
+    if name == "Trainer":
+        from .trainer import Trainer
+
+        return Trainer
+    raise AttributeError(name)
