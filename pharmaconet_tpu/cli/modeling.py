@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                      default="float32",
                      help="matmul/conv precision: float32 matches the reference to 1e-4; "
                           "lower precisions trade parity for device latency")
+    env.add_argument("--profile", type=str, metavar="DIR",
+                     help="write a jax.profiler trace of the modeling run to DIR "
+                          "(view with tensorboard / xprof)")
     env.add_argument("-v", "--verbose", action="store_true", help="verbose")
 
     adv = parser.add_argument_group("advanced")
@@ -94,7 +97,14 @@ def main(args) -> int:
             logging.warning(f"Modeling pass - {model_path} exists")
             model = PharmacophoreModel.load(str(model_path))
         else:
-            model = module.run(protein_path, ref_ligand_path=ligand_path, center=center)
+            if args.profile:
+                from pharmaconet_tpu.utils.profiling import trace
+
+                with trace(args.profile):
+                    model = module.run(protein_path, ref_ligand_path=ligand_path, center=center)
+                logging.info(f"Wrote device trace to {args.profile}")
+            else:
+                model = module.run(protein_path, ref_ligand_path=ligand_path, center=center)
             model.save(str(model_path))
             logging.info(f"Save pharmacophore model to {model_path}")
         written = visualize.visualize_single(model, protein_path, ligand_path, prefix, str(pymol_path))
