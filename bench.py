@@ -255,10 +255,10 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
             # production host path: pack + pair compaction (row-gather
             # over the device's [NST, C] output; a zero stand-in stands
             # for the device result) + prune + table mask + DFS
+            from pharmaconet_tpu.scoring.batch_screen import compact_pair_table_rows
+
             rows = np.zeros((tb.gtab.shape[0] * tb.uv.shape[1], tb.cmax), np.float32)
-            pend = tb.pair_end_rows
-            table = rows[np.clip(pend, 0, None)]
-            table[pend < 0] = 0.0
+            table = compact_pair_table_rows(rows, tb.pair_end_rows)
             prune = host_prune_mask(tb, screener.packed_model)
             table[: len(prune)][prune] = -1.0
             _ = _dfs_scores(tb, table)

@@ -372,8 +372,7 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
         // pass 2: emit rows, pair-aligned (spans precomputed)
         size_t span_idx = 0;
         auto emit_block = [&](int32_t ea, int32_t eb, bool& first_row_of_pair,
-                              float thr, float selff, float gate,
-                              float*& arow_out) {
+                              float thr, float selff, float gate) {
             const int32_t u = ma.e_u[(size_t)ea], v = ma.e_u[(size_t)eb];
             const int64_t mn = e_n(ea) * e_n(eb);
             const int64_t rows = (mn + P - 1) / P;
@@ -423,7 +422,6 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
             arow[AUX_MNINV] = 1.0f / (float)std::max<int64_t>(mn, 1);
             arow[AUX_MNHALF] = (float)((mn + 1) / 2);
             arow[AUX_GATE] = gate;
-            arow_out = arow;
             if (o.nst % tile == 0) o.close_tile(lb);
         };
 
@@ -449,10 +447,9 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
                 auto [e0, e1] = ml_at(i, cj - c_lo);
                 const int64_t pair_start = o.nst;
                 bool first = true;
-                float* arow = nullptr;
                 for (int32_t a = e0; a < e1; ++a)
                     for (int32_t b = a + 1; b < e1; ++b)
-                        emit_block(a, b, first, INF, 1.f, 0.f, arow);
+                        emit_block(a, b, first, INF, 1.f, 0.f);
                 o.maxp = std::max(o.maxp, o.nst - pair_start);
                 o.pend.push_back(o.nst - 1);
             }
@@ -474,10 +471,9 @@ void pack_range(const ModelTables& m, const LigandBatch& lb, int P, int tile,
                         const float thr = 0.5f * (float)(a1 - a0) * (float)(b1e - b0e);
                         const int64_t pair_start = o.nst;
                         bool first = true;
-                        float* arow = nullptr;
                         for (int32_t a = a0; a < a1; ++a)
                             for (int32_t b = b0e; b < b1e; ++b)
-                                emit_block(a, b, first, thr, 0.f, 1.f, arow);
+                                emit_block(a, b, first, thr, 0.f, 1.f);
                         o.maxp = std::max(o.maxp, o.nst - pair_start);
                         o.pend.push_back(o.nst - 1);
                     }
@@ -557,7 +553,13 @@ extern "C" int32_t pack_tiled(
             float* p = (float*)std::malloc(sizeof(float) * cap_per * threec * cap);
             staging.insert(staging.end(), {g, a, (float*)u, p});
             s.gtab = g; s.aux = a; s.uv = u; s.pos = p;
-            s.cap_tiles = (g && a && u && p) ? cap_per : 0;
+            if (!(g && a && u && p)) {
+                // allocation failure must NOT look like tile overflow
+                // (rc=-1 makes the caller retry with BIGGER buffers)
+                for (float* q : staging) std::free(q);
+                return -4;
+            }
+            s.cap_tiles = cap_per;
         }
     }
     for (int t = 0; t < nthreads; ++t) {

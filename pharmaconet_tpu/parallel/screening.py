@@ -22,6 +22,7 @@ from ..scoring.batch_screen import (
     _dfs_scores,
     build_batch,
     compact_pair_table,
+    compact_pair_table_rows,
     host_prune_mask,
     score_blocks_device,
     unique_distance_table,
@@ -33,9 +34,10 @@ class ShardedScreener(BatchScreener):
     """BatchScreener that fans ligand shards over a device mesh."""
 
     def __init__(self, model, weights=None, mesh=None, engine=None,
-                 pallas_interpret=False):
+                 pallas_interpret=False, pack_threads: int = 1):
         super().__init__(model, weights, engine=engine,
-                         pallas_interpret=pallas_interpret)
+                         pallas_interpret=pallas_interpret,
+                         pack_threads=pack_threads)
         self.mesh = mesh if mesh is not None else data_mesh()
 
     def score_packed(self, packed: list[PackedLigand]) -> list[float]:
@@ -56,7 +58,11 @@ class ShardedScreener(BatchScreener):
         # contiguous shards with common array shapes
         bounds = np.linspace(0, len(live_packed), n_dev + 1).astype(int)
         shards = [live_packed[bounds[i] : bounds[i + 1]] for i in range(n_dev)]
-        if self._resolve_engine() == "pallas" and self.native_pack is not False:
+        if (
+            self._resolve_engine() == "pallas"
+            and self.pallas_fused
+            and self.native_pack is not False
+        ):
             scores = self._score_shards_tiled_native(shards, cmax)
             if scores is not None:
                 for (i, _), s in zip(live, scores):
@@ -245,9 +251,7 @@ class ShardedScreener(BatchScreener):
         tables = np.asarray(sharded_score(*stacked))  # [n_dev, NST, C]
         scores: list[float] = []
         for k, tb in enumerate(tbs):
-            pend = tb.pair_end_rows
-            table = tables[k][np.clip(pend, 0, None)]
-            table[pend < 0] = 0.0
+            table = compact_pair_table_rows(tables[k].copy(), tb.pair_end_rows)
             prune = host_prune_mask(tb, self.packed_model)
             table[: len(prune)][prune] = -1.0
             scores.extend(_dfs_scores(tb, table))

@@ -715,6 +715,15 @@ def compact_pair_table(batch: ScreenBatch, expanded: np.ndarray) -> np.ndarray:
     return table
 
 
+def compact_pair_table_rows(rows: np.ndarray, pair_end_rows: np.ndarray) -> np.ndarray:
+    """Row-major pair compaction: gather [NP, C] from the device's
+    [NST, C] output at the (ascending) pair-end rows; empty pairs (-1)
+    score 0. The row-major layout makes this sequential 16-byte reads."""
+    table = rows[np.clip(pair_end_rows, 0, None)]
+    table[pair_end_rows < 0] = 0.0
+    return table
+
+
 def compact_pair_table_tiled(expanded: np.ndarray, pair_end_rows: np.ndarray) -> np.ndarray:
     """Gather per-pair scores [NP, C] from the tiled expanded output using
     the layout's precomputed pair-end rows (empty pairs score 0)."""
@@ -921,7 +930,6 @@ class BatchScreener:
         """Fast path: one-pass C++ pack straight to the tile-major layout +
         the fused Pallas kernel. Returns None when the native packer is
         unavailable (callers fall back to the reference path)."""
-        from ..ops.screen_pallas import score_tiles_fused_rows
         from .tiled_pack import build_tiled_batch
 
         tb = build_tiled_batch(
@@ -954,10 +962,9 @@ class BatchScreener:
         C-contiguous row reads; ~5 ms/core vs ~80 ms striding the [C, NST]
         layout, and vs ~2.2 ms/batch for an on-device XLA gather — TPU
         gathers are a slow path), prune, and the assignment DFS."""
-        expanded_rows = np.asarray(expanded_rows_dev)
-        pend = tb.pair_end_rows
-        table = expanded_rows[np.clip(pend, 0, None)]
-        table[pend < 0] = 0.0
+        table = compact_pair_table_rows(
+            np.asarray(expanded_rows_dev), tb.pair_end_rows
+        )
         prune = host_prune_mask(tb, self.packed_model)
         table[: len(prune)][prune] = -1.0
         return _dfs_scores(tb, table)

@@ -67,6 +67,7 @@ class ScreeningExecutor:
             return []
         use_native = (
             screener._resolve_engine() == "pallas"
+            and screener.pallas_fused
             and screener.native_pack is not False
         )
         if not use_native or n_batches == 1:
@@ -78,10 +79,14 @@ class ScreeningExecutor:
         packed_out: list[tuple] = [None] * n_batches  # (live_idx, tb | None)
         ready = [threading.Event() for _ in range(n_batches)]
         errors: list[BaseException] = []
+        cancel = threading.Event()
 
         def pack_loop(worker: _PackWorker, first: int) -> None:
             for bi in range(first, n_batches, len(self.workers)):
                 worker.slot.acquire()
+                if cancel.is_set():
+                    ready[bi].set()
+                    return
                 try:
                     batch = batches[bi]
                     live = [(i, p) for i, p in enumerate(batch) if p.clusters]
@@ -93,6 +98,15 @@ class ScreeningExecutor:
                             rows_hint=int(screener._rows_hint * len(live)),
                             buffer_cache=worker.cache,
                         )
+                        if tb is not None:
+                            # learn the rows-per-ligand estimate (a float
+                            # store; worker races only jitter the moving
+                            # average) so later batches size their first
+                            # allocation right
+                            screener._rows_hint = (
+                                0.7 * screener._rows_hint
+                                + 0.3 * (tb.nst / max(1, len(live)))
+                            )
                     packed_out[bi] = (live, tb)
                 except BaseException as e:  # surface in the main thread
                     errors.append(e)
@@ -108,21 +122,31 @@ class ScreeningExecutor:
             t.start()
 
         out = []
-        for bi in range(n_batches):
-            ready[bi].wait()
-            if errors:
-                raise errors[0]
-            live, tb = packed_out[bi]
-            scores = [0.0] * len(batches[bi])
-            if live and tb is not None:
-                for (i, _), s in zip(live, screener.score_tb(tb)):
-                    scores[i] = s
-            elif live:
-                # native pack unavailable for this batch: sequential path
-                scores = screener.score_packed(list(batches[bi]))
-            out.extend(scores)
-            # results materialized — the worker may reuse its buffers
-            self.workers[bi % len(self.workers)].slot.release()
-        for t in threads:
-            t.join()
+        consumed = 0
+        try:
+            for bi in range(n_batches):
+                ready[bi].wait()
+                if errors:
+                    raise errors[0]
+                live, tb = packed_out[bi]
+                scores = [0.0] * len(batches[bi])
+                if live and tb is not None:
+                    for (i, _), s in zip(live, screener.score_tb(tb)):
+                        scores[i] = s
+                elif live:
+                    # native pack unavailable for this batch: sequential path
+                    scores = screener.score_packed(list(batches[bi]))
+                out.extend(scores)
+                # results materialized — the worker may reuse its buffers
+                self.workers[bi % len(self.workers)].slot.release()
+                consumed = bi + 1
+        finally:
+            # on error, unblock every worker so threads exit instead of
+            # parking forever on slot.acquire() with their caches pinned
+            if consumed < n_batches:
+                cancel.set()
+                for w in self.workers:
+                    w.slot.release()
+            for t in threads:
+                t.join()
         return out

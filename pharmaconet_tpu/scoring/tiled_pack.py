@@ -156,6 +156,10 @@ def build_tiled_batch(
             t_alloc = (_bucket_up(int(out[0])) + TILE - 1) // TILE
         elif rc == -2:
             cap_np = max(int(out[1]), cap_np * 2)
+        elif rc == -4:
+            raise MemoryError(
+                "tiled pack: staging allocation failed (host out of memory)"
+            )
         else:
             raise ValueError(
                 "tiled pack failed: ligand node count exceeds NODE_CAP or "
