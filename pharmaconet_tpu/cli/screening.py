@@ -66,7 +66,7 @@ def main(args) -> int:
     )
     pack_threads = args.pack_threads or os.cpu_count() or 1
     if len(jax.devices()) > 1:
-        screener = ShardedScreener(model, weights)
+        screener = ShardedScreener(model, weights, pack_threads=pack_threads)
     else:
         screener = BatchScreener(model, weights, pack_threads=pack_threads)
 
