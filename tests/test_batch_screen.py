@@ -411,3 +411,36 @@ def test_screening_executor_matches_sequential():
     ovl = ex.score_packed(packed)
     np.testing.assert_allclose(ovl, seq, rtol=1e-6, atol=1e-7)
     assert max(seq) > 0.0
+
+
+def test_screening_executor_error_propagates_cleanly(monkeypatch):
+    """A pack-worker failure must surface as the original exception with no
+    hung worker threads (regression: workers parked on slot.acquire())."""
+    import threading
+
+    from bench import make_synthetic_ligands, make_synthetic_model
+    from pharmaconet_tpu.scoring import executor as executor_mod
+    from pharmaconet_tpu.scoring.batch_screen import BatchScreener
+    from pharmaconet_tpu.scoring.executor import ScreeningExecutor
+    from pharmaconet_tpu.scoring import tiled_pack
+
+    model = make_synthetic_model(num_clusters=8, seed=7)
+    packed = make_synthetic_ligands(64, seed=8)
+    screener = BatchScreener(model, engine="pallas", pallas_interpret=True)
+
+    real_build = tiled_pack.build_tiled_batch
+    calls = {"n": 0}
+
+    def failing_build(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("synthetic pack failure")
+        return real_build(*args, **kwargs)
+
+    monkeypatch.setattr(tiled_pack, "build_tiled_batch", failing_build)
+    before = threading.active_count()
+    ex = ScreeningExecutor(screener, batch_size=16, pack_workers=2)
+    with pytest.raises(RuntimeError, match="synthetic pack failure"):
+        ex.score_packed(packed)
+    # all pack threads joined; none parked on their semaphores
+    assert threading.active_count() == before
