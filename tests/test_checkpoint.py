@@ -58,3 +58,23 @@ def test_pharmaconet_loads_torch_tar(torch_checkpoint):
     assert pm._dist_packed.shape[0] == 10
     # params landed as jax arrays with the right structure
     assert "backbone" in pm.params["params"]
+
+
+def test_convert_weights_cli(torch_checkpoint, tmp_path):
+    """tar -> npz conversion CLI produces a torch-free-loadable checkpoint
+    with identical parameters."""
+    import jax
+
+    from pharmaconet_tpu.cli.convert_weights import build_parser, main
+    from pharmaconet_tpu.network.convert import load_npz_checkpoint
+
+    path, _ = torch_checkpoint
+    dst = tmp_path / "model.npz"
+    assert main(build_parser().parse_args([str(path), str(dst)])) == 0
+    params_tar, dists_tar, _ = load_reference_checkpoint(path)
+    params_npz, dists_npz = load_npz_checkpoint(dst)
+    for a, b in zip(jax.tree.leaves(params_tar), jax.tree.leaves(params_npz)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert set(dists_tar) == set(dists_npz)
+    for t in dists_tar:
+        np.testing.assert_array_equal(dists_tar[t], dists_npz[t])
