@@ -111,7 +111,32 @@ def _round_up(n: int, multiple: int = 128) -> int:
     return max(multiple, (n + multiple - 1) // multiple * multiple)
 
 
-def batch_graphs(graphs: list[LigandGraphArrays], pad_multiple: int = 128) -> GraphBatch:
+def half_octave(n: int, minimum: int = 8) -> int:
+    """Shape bucket: powers of two plus midpoints (8, 12, 16, 24, 32, ...).
+    Bounds the number of distinct compiled program shapes to O(log n)."""
+    b = minimum
+    while b < n:
+        b2 = b + b // 2
+        if n <= b2:
+            return b2
+        b *= 2
+    return b
+
+
+def batch_graphs(
+    graphs: list[LigandGraphArrays],
+    pad_multiple: int = 128,
+    num_graphs_pad: int | None = None,
+) -> GraphBatch:
+    """num_graphs_pad pads the GRAPH axis (fake empty graphs beyond the real
+    ones): segment ops see empty segments, dense batching gives them empty
+    masks, and callers slice results to the real count. Together with
+    half_octave atom/edge padding this keeps the per-call compiled-shape
+    signature (num_graphs, Vp, Ep) to a handful of buckets instead of one
+    program per distinct batch composition (an RL loop scoring variable
+    batches would otherwise recompile nearly every call)."""
+    ng = num_graphs_pad if num_graphs_pad is not None else len(graphs)
+    assert ng >= len(graphs)
     total_v = sum(g.num_atoms for g in graphs)
     total_e = sum(len(g.edge_src) for g in graphs)
     vp = _round_up(total_v, pad_multiple)
@@ -119,7 +144,7 @@ def batch_graphs(graphs: list[LigandGraphArrays], pad_multiple: int = 128) -> Gr
 
     atom_class = np.full(vp, 0, dtype=np.int32)
     atom_features = np.zeros((vp, NUM_ATOM_FEATURES), dtype=np.float32)
-    atom_graph = np.full(vp, len(graphs), dtype=np.int32)
+    atom_graph = np.full(vp, ng, dtype=np.int32)
     atom_valid = np.zeros(vp, dtype=bool)
     edge_src = np.full(ep, vp - 1, dtype=np.int32)
     edge_dst = np.full(ep, vp - 1, dtype=np.int32)
@@ -145,6 +170,6 @@ def batch_graphs(graphs: list[LigandGraphArrays], pad_multiple: int = 128) -> Gr
     return GraphBatch(
         atom_class, atom_features, atom_graph, atom_valid,
         edge_src, edge_dst, edge_class, edge_features, edge_valid,
-        num_graphs=len(graphs),
+        num_graphs=ng,
         num_atoms=np.array([g.num_atoms for g in graphs], dtype=np.int32),
     )

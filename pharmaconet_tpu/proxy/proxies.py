@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseProxy, Cache
-from .data import batch_graphs, smi2graph
+from .data import batch_graphs, half_octave, smi2graph
 from .sbddreward import SBDDRewardNetwork, convert_sbddreward_checkpoint
 from .tacogfn import TacoAffinityHead, convert_tacogfn_checkpoint, graph_batch_to_arrays
 
@@ -73,7 +73,9 @@ class TacoGFN_Proxy(BaseProxy):
     def _scoring_list(self, cache: Cache, smiles_list: list[str]) -> np.ndarray:
         pocket, token = cache
         graphs = [smi2graph(smi) for smi in smiles_list]
-        batch = batch_graphs(graphs)
+        # bucket graph count + array shapes so variable batch sizes reuse a
+        # handful of compiled programs instead of one per composition
+        batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
         arrays = graph_batch_to_arrays(batch, categorical=True)
         out = self._apply_affinity(
             jnp.asarray(pocket), jnp.asarray(token), arrays[:7], batch.num_graphs
@@ -148,9 +150,9 @@ class SBDDReward_Proxy(BaseProxy):
                 flags.append(False)
         if not any(flags):
             return np.zeros(len(smiles_list), dtype=np.float32)
-        batch = batch_graphs(graphs)
+        batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
         arrays = graph_batch_to_arrays(batch, categorical=False)
-        max_atoms = int(((batch.num_atoms.max() + 7) // 8) * 8)
+        max_atoms = half_octave(int(batch.num_atoms.max()), minimum=16)
         x, pos, z = jnp.asarray(cache[0]), jnp.asarray(cache[1]), jnp.asarray(cache[2])
         mu, std = float(cache[3]), float(cache[4])
         dev_cache = (x, pos, z, mu, std)

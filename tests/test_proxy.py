@@ -112,3 +112,24 @@ def test_cache_key_lists():
     taco_train = load_cache_keys("train", variant="tacogfn")
     taco_test = load_cache_keys("test", variant="tacogfn")
     assert len(taco_train) == 15207 and len(taco_test) == 100
+
+
+def test_scoring_batch_size_bucketing(fake_features):
+    """Variable batch sizes inside one bucket must reuse ONE compiled
+    program (RL loops vary sizes every call; unbucketed shapes recompiled
+    nearly every time)."""
+    features, hotspot_infos = fake_features
+    proxy = SBDDReward_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+    smiles = ["c1ccccc1", "CCO", "CC(=O)O", "CCN", "c1ccncc1", "CCC", "CCCC"]
+    base = type(proxy)._apply_scoring._cache_size()
+    for n in (3, 4, 5):  # all bucket to num_graphs_pad=8 with similar Vp
+        proxy._scoring_list(cache, smiles[:n])
+    grown = type(proxy)._apply_scoring._cache_size() - base
+    assert grown <= 1, f"expected one shared program, compiled {grown}"
+    # scores remain position-correct under graph-axis padding
+    import numpy as np
+    s3 = proxy._scoring_list(cache, smiles[:3])
+    one = np.concatenate([proxy._scoring_list(cache, [s]) for s in smiles[:3]])
+    np.testing.assert_allclose(s3, one, rtol=2e-4, atol=1e-5)
