@@ -150,7 +150,13 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._train_step = train_step  # shapes vary per batch; jit per shape
+        # NOT jitted: per-pocket shapes (hotspot count K, ligand-batch
+        # atoms) vary every item, and masking fake hotspots through the
+        # encoder/head would change the reference training semantics
+        # (developer/src/model.py pools unmasked). Eager grad matches the
+        # reference's torch-eager trainer; bucketing + masked-K jit is the
+        # optimization path if large-scale retraining ever matters.
+        self._train_step = train_step
         self._loss_fn = loss_fn
 
     # ------------------------------------------------------------------
