@@ -134,7 +134,14 @@ def corpus(tmp_path_factory):
         elements, coords, bonds = _random_molecule(rng)
         path = root / f"m{i:02d}.sdf"
         path.write_text(_to_sdf(f"m{i:02d}", elements, coords, bonds))
-        ligands.append(Ligand.load_from_file(path))
+        lig = Ligand.load_from_file(path)
+        if i % 3 == 0:
+            # multi-conformer: 3 perturbed copies of the base geometry
+            base = np.asarray(lig.mol.coords, dtype=np.float32)
+            confs = [base + rng.normal(0, 0.4, base.shape).astype(np.float32)
+                     for _ in range(3)]
+            lig = Ligand(lig.mol, atom_positions=confs)
+        ligands.append(lig)
     return model, pm_path, ligands
 
 
