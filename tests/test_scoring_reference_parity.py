@@ -190,3 +190,27 @@ def test_reference_scoring_parity_device_engine(corpus):
             ref_model, _duck_reference_ligand(lig, ref_ligand_mod)
         ).run()
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_reference_scoring_parity_custom_weights(corpus):
+    """Non-default per-type weights flow identically through both stacks
+    (the screening CLI exposes them: --cation 8 --hbd 4 ...)."""
+    ref_graph_match, ref_ligand_mod, ref_model_mod = _import_reference_scoring()
+    from pharmaconet_tpu.scoring.graph_match import GraphMatcher
+
+    our_model, pm_path, ligands = corpus
+    ref_model = ref_model_mod.PharmacophoreModel.load(str(pm_path))
+    weights = dict(
+        Cation=2.5, Anion=3.5, Aromatic=6.0, HBond_donor=1.5,
+        HBond_acceptor=7.0, Halogen=0.5, Hydrophobic=2.0,
+    )
+    checked = 0
+    for lig in ligands[:12]:
+        ours = GraphMatcher(our_model, lig, weights=weights).run()
+        theirs = ref_graph_match.GraphMatcher(
+            ref_model, _duck_reference_ligand(lig, ref_ligand_mod),
+            weights=weights,
+        ).run()
+        assert abs(ours - theirs) <= 1e-4 + 2e-5 * abs(theirs)
+        checked += theirs > 0
+    assert checked >= 4
