@@ -131,3 +131,20 @@ def test_parallel_parse_pool(pm_model, tmp_path):
     for (_, a), (_, b) in zip(serial, pooled):
         np.testing.assert_array_equal(a.graph.nodes[0].positions, b.graph.nodes[0].positions)
         assert len(a.graph.nodes) == len(b.graph.nodes)
+
+
+def test_end_to_end_example(tmp_path):
+    """examples/end_to_end.py runs the full model->pack->screen pipeline."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "e2e_example", "/root/repo/examples/end_to_end.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    args = mod.build_parser().parse_args(
+        ["--out_dir", str(tmp_path / "demo"), "--n_ligands", "12"]
+    )
+    assert mod.main(args) == 0
+    lines = (tmp_path / "demo" / "scores.csv").read_text().strip().splitlines()
+    assert len(lines) == 13  # header + 12
