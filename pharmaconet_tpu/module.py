@@ -435,13 +435,11 @@ class PharmacoNet:
             data.pdbblock, data.center, hotspot_infos, size=self.grid_dim
         )
 
-    def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:
-        """Trunk once, then segment exactly the kept tokens in chunk-sized
-        device programs — latency is proportional to the pocket's actual
-        hotspot count (ceil(n/chunk) x ~chunk cost), not to max_hotspots.
-        The reference segments ALL filtered hotspots (module.py:255-276);
-        this path matches that exactly, in token index order."""
-        out = self._device_program(
+    def run_trunk(self, data: ProteinData) -> dict[str, Any]:
+        """Voxelize + SwinV2 + FPN + cavity/token heads for one parsed
+        pocket (no segmentation); returns the device-resident trunk
+        outputs consumed by the segmentation paths."""
+        return self._device_program(
             jnp.asarray(data.atom_positions),
             jnp.asarray(data.atom_features),
             jnp.asarray(data.atom_valid),
@@ -450,6 +448,14 @@ class PharmacoNet:
             jnp.asarray(data.center),
             with_segmentation=False,
         )
+
+    def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:
+        """Trunk once, then segment exactly the kept tokens in chunk-sized
+        device programs — latency is proportional to the pocket's actual
+        hotspot count (ceil(n/chunk) x ~chunk cost), not to max_hotspots.
+        The reference segments ALL filtered hotspots (module.py:255-276);
+        this path matches that exactly, in token index order."""
+        out = self.run_trunk(data)
         keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
         if self.verbose:
             n, slabs, chunks = len(keep_idx), 0, 0
@@ -555,15 +561,7 @@ class PharmacoNet:
 
     def run_extraction(self, data: ProteinData) -> tuple[list[np.ndarray], list[dict[str, Any]]]:
         """Pocket multi-scale features + hotspot features (module.py:137-188)."""
-        out = self._device_program(
-            jnp.asarray(data.atom_positions),
-            jnp.asarray(data.atom_features),
-            jnp.asarray(data.atom_valid),
-            jnp.asarray(data.tokens),
-            jnp.asarray(data.token_valid),
-            jnp.asarray(data.center),
-            with_segmentation=False,
-        )
+        out = self.run_trunk(data)
         keep = np.asarray(out["keep"])
         rel_scores = np.asarray(out["rel_scores"])
         token_features = np.asarray(out["token_features"])

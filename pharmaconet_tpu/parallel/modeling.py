@@ -231,16 +231,7 @@ class ShardedSegmenter:
 
     def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:
         """Single-pocket modeling with mesh-parallel segmentation."""
-        pmnet = self.pmnet
-        out = pmnet._device_program(
-            jnp.asarray(data.atom_positions),
-            jnp.asarray(data.atom_features),
-            jnp.asarray(data.atom_valid),
-            jnp.asarray(data.tokens),
-            jnp.asarray(data.token_valid),
-            jnp.asarray(data.center),
-            with_segmentation=False,
-        )
+        out = self.pmnet.run_trunk(data)
         keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
         return self.segment(data, out, keep_idx)
 
