@@ -53,19 +53,29 @@ class DevAffinityModel(nn.Module):
         self.head = DevAffinityHead(self.hidden_dim, name="head")
 
     def __call__(self, multi_scale_features, hotspot_features, hotspot_positions,
-                 batch_arrays, max_atoms: int | None = None):
-        """Returns predicted affinities [N_ligand]."""
+                 batch_arrays, max_atoms: int | None = None,
+                 hotspot_valid=None):
+        """Returns predicted affinities [N_ligand]. hotspot_valid ([K] bool,
+        optional) masks padded hotspot rows EXACTLY: the encoder is
+        row-independent over K and the head sums over K, so zeroing a
+        padded row's protein embedding removes its contribution entirely —
+        this is what lets the trainer bucket K and jit one program per
+        shape bucket instead of running eagerly."""
         x_protein, _, _ = self.pharmacophore_encoder(
             multi_scale_features, hotspot_features, hotspot_positions
         )
+        if hotspot_valid is not None:
+            x_protein = jnp.where(hotspot_valid[:, None], x_protein, 0.0)
         x_ligand, _ = self.ligand_encoder(batch_arrays)
         atom_graph, atom_valid, num_graphs = batch_arrays[1], batch_arrays[2], batch_arrays[7]
         return self.head(x_protein, x_ligand, atom_graph, atom_valid, num_graphs, max_atoms)
 
     def loss(self, multi_scale_features, hotspot_features, hotspot_positions,
-             batch_arrays, affinities, ligand_valid, max_atoms: int | None = None):
+             batch_arrays, affinities, ligand_valid, max_atoms: int | None = None,
+             hotspot_valid=None):
         pred = self(
-            multi_scale_features, hotspot_features, hotspot_positions, batch_arrays, max_atoms
+            multi_scale_features, hotspot_features, hotspot_positions, batch_arrays,
+            max_atoms, hotspot_valid,
         )
         err = (pred - affinities) ** 2
         denom = jnp.maximum(jnp.sum(ligand_valid), 1.0)

@@ -17,18 +17,24 @@ import numpy as np
 
 logger = logging.getLogger("pharmaconet_tpu")
 
-from ..proxy.data import batch_graphs, smi2graph
+from ..proxy.data import batch_graphs, half_octave, smi2graph
 from ..proxy.tacogfn import graph_batch_to_arrays
 
 
 @dataclass
 class PocketItem:
+    """All ragged axes arrive bucketed (hotspot count K and the ligand
+    graph batch pad to half-octave buckets, masked exactly downstream), so
+    the trainer's jitted step compiles one program per shape bucket
+    instead of per pocket."""
+
     multi_scale_features: list
-    hotspot_features: np.ndarray  # [K, 192]
-    hotspot_positions: np.ndarray  # [K, 3]
+    hotspot_features: np.ndarray  # [Kpad, 192]
+    hotspot_positions: np.ndarray  # [Kpad, 3]
+    hotspot_valid: np.ndarray  # [Kpad] bool
     batch_arrays: tuple
-    affinities: np.ndarray  # [N]
-    ligand_valid: np.ndarray  # [N]
+    affinities: np.ndarray  # [NGpad]
+    ligand_valid: np.ndarray  # [NGpad]
     max_atoms: int
 
     def model_args(self):
@@ -38,6 +44,7 @@ class PocketItem:
             jnp.asarray(self.hotspot_positions),
             self.batch_arrays,
             self.max_atoms,
+            jnp.asarray(self.hotspot_valid),
         )
 
     def loss_args(self):
@@ -48,6 +55,15 @@ class PocketItem:
             self.batch_arrays,
             jnp.asarray(self.affinities),
             jnp.asarray(self.ligand_valid),
+            self.max_atoms,
+            jnp.asarray(self.hotspot_valid),
+        )
+
+    def shape_key(self) -> tuple:
+        """Bucket signature — items sharing it reuse one compiled step."""
+        return (
+            self.hotspot_features.shape[0],
+            tuple(a.shape if hasattr(a, "shape") else a for a in self.batch_arrays),
             self.max_atoms,
         )
 
@@ -93,25 +109,41 @@ class PocketLigandDataset:
                 "pocket %s produced no hotspots; its loss term has zero "
                 "gradient (check weights / thresholds)", code,
             )
-            hotspot_features = np.zeros((0, 192), dtype=np.float32)
+            feat_dim = getattr(self.pmnet.model, "token_feature_dim", 192)
+            hotspot_features = np.zeros((0, feat_dim), dtype=np.float32)
             hotspot_positions = np.zeros((0, 3), dtype=np.float32)
+
+        # bucket the hotspot axis (exactly masked via hotspot_valid)
+        k = len(hotspot_infos)
+        k_pad = half_octave(max(k, 1))
+        hf = np.zeros((k_pad, hotspot_features.shape[1]), dtype=np.float32)
+        hp = np.zeros((k_pad, 3), dtype=np.float32)
+        hv = np.zeros(k_pad, dtype=bool)
+        hf[:k], hp[:k], hv[:k] = hotspot_features, hotspot_positions, True
 
         ligands = self.ligand_data[code]
         graphs, affinities = [], []
         for _, smiles, affinity in ligands:
             graphs.append(smi2graph(smiles))
             affinities.append(min(float(affinity), 0.0))  # cap (dataset.py:49)
-        batch = batch_graphs(graphs)
+        # bucket the graph axis too (fake graphs have empty masks; their
+        # predictions are 0 and ligand_valid excludes them from the loss)
+        batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
         arrays = graph_batch_to_arrays(batch, categorical=False)
-        max_atoms = int(((batch.num_atoms.max() + 7) // 8) * 8)
-        n = batch.num_graphs
+        max_atoms = half_octave(int(batch.num_atoms.max()), minimum=16)
+        n, ng = len(graphs), batch.num_graphs
+        aff = np.zeros(ng, dtype=np.float32)
+        aff[:n] = affinities
+        valid = np.zeros(ng, dtype=np.float32)
+        valid[:n] = 1.0
         return PocketItem(
             multi_scale_features=features,
-            hotspot_features=hotspot_features,
-            hotspot_positions=hotspot_positions,
+            hotspot_features=hf,
+            hotspot_positions=hp,
+            hotspot_valid=hv,
             batch_arrays=arrays,
-            affinities=np.asarray(affinities, dtype=np.float32),
-            ligand_valid=np.ones(n, dtype=np.float32),
+            affinities=aff,
+            ligand_valid=valid,
             max_atoms=max_atoms,
         )
 

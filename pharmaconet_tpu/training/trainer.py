@@ -14,6 +14,7 @@ Rebuilds developer/src/trainer.py:25-209 in JAX/optax:
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import random
@@ -139,10 +140,21 @@ class Trainer:
         def loss_fn(params, item_args):
             return self.model.apply(params, *item_args, method="loss")
 
-        def train_step(params, opt_state, items):
-            # per-pocket losses averaged (developer model.py:51-56)
+        # Jitted: the dataset buckets every ragged axis (hotspot count K
+        # is exactly masked via hotspot_valid; ligand graphs pad to
+        # half-octave buckets with loss-masked fakes), so one program
+        # compiles per shape-bucket composition — not per pocket. The
+        # scalar max_atoms stays static per bucket.
+        @functools.partial(jax.jit, static_argnames=("static_items",))
+        def train_step_jit(params, opt_state, array_items, static_items):
             def batch_loss(p):
-                losses = [loss_fn(p, args) for args in items]
+                losses = []
+                for (feats, hf, hp, ba7, aff, lv, hv), (max_atoms, ng) in zip(
+                    array_items, static_items
+                ):
+                    losses.append(
+                        loss_fn(p, (feats, hf, hp, (*ba7, ng), aff, lv, max_atoms, hv))
+                    )
                 return jnp.mean(jnp.stack(losses))
 
             loss, grads = jax.value_and_grad(batch_loss)(params)
@@ -150,13 +162,23 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        # NOT jitted: per-pocket shapes (hotspot count K, ligand-batch
-        # atoms) vary every item, and masking fake hotspots through the
-        # encoder/head would change the reference training semantics
-        # (developer/src/model.py pools unmasked). Eager grad matches the
-        # reference's torch-eager trainer; bucketing + masked-K jit is the
-        # optimization path if large-scale retraining ever matters.
+        def train_step(params, opt_state, items):
+            # per-pocket losses averaged (developer model.py:51-56).
+            # loss_args() = (feats, hf, hp, batch_arrays, aff, lv,
+            # max_atoms, hotspot_valid); the two Python ints (max_atoms and
+            # batch_arrays' trailing num_graphs) become static jit args
+            array_items = []
+            static_items = []
+            for a in items:
+                feats, hf, hp, ba, aff, lv, max_atoms, hv = a
+                array_items.append((tuple(feats), hf, hp, tuple(ba[:-1]), aff, lv, hv))
+                static_items.append((max_atoms, int(ba[-1])))
+            return train_step_jit(
+                params, opt_state, tuple(array_items), tuple(static_items)
+            )
+
         self._train_step = train_step
+        self._train_step_jit = train_step_jit  # exposed for cache checks
         self._loss_fn = loss_fn
 
     # ------------------------------------------------------------------

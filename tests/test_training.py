@@ -133,3 +133,17 @@ def test_train_step_converges(train_setup):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_train_step_compiles_once_per_bucket(train_setup):
+    """Items whose ragged axes land in the same half-octave buckets must
+    reuse ONE compiled train step (the point of the bucketed dataset)."""
+    config, pmnet = train_setup
+    config.log_dir = config.log_dir + "_jit"
+    trainer = Trainer(config, pmnet=pmnet)
+    items = [trainer.train_dataset[i].loss_args() for i in range(2)]
+    params, opt_state = trainer.params, trainer.opt_state
+    params, opt_state, _ = trainer._train_step(params, opt_state, [items[0]])
+    base = trainer._train_step_jit._cache_size()
+    params, opt_state, _ = trainer._train_step(params, opt_state, [items[1]])
+    assert trainer._train_step_jit._cache_size() == base
