@@ -177,9 +177,20 @@ class Trainer:
                 params, opt_state, tuple(array_items), tuple(static_items)
             )
 
+        @functools.partial(jax.jit, static_argnames=("max_atoms", "ng"))
+        def eval_loss_jit(params, feats, hf, hp, ba7, aff, lv, hv, max_atoms, ng):
+            return loss_fn(params, (feats, hf, hp, (*ba7, ng), aff, lv, max_atoms, hv))
+
+        def eval_loss(params, item_args):
+            feats, hf, hp, ba, aff, lv, max_atoms, hv = item_args
+            return eval_loss_jit(
+                params, tuple(feats), hf, hp, tuple(ba[:-1]), aff, lv, hv,
+                max_atoms=max_atoms, ng=int(ba[-1]),
+            )
+
         self._train_step = train_step
         self._train_step_jit = train_step_jit  # exposed for cache checks
-        self._loss_fn = loss_fn
+        self._loss_fn = eval_loss
 
     # ------------------------------------------------------------------
     def fit(self, resume_from: str | Path | None = None):
