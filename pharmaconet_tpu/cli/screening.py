@@ -81,19 +81,50 @@ def main(args) -> int:
 
         packed, names = load_library(args.library)
         print(f"loaded {len(packed)} prepacked ligands")
+
+        # crash recovery for long screens: batch results append to
+        # <out>.partial as they complete; rerunning the same command skips
+        # ligands already scored there and the final sorted CSV merges both
+        partial_path = Path(args.out + ".partial")
+        done: dict[str, float] = {}
+        if partial_path.exists():
+            name_set = set(names)
+            for line in partial_path.read_text().splitlines():
+                name, score = line.rsplit(",", 1)
+                if name in name_set:  # ignore entries from other libraries
+                    done[name] = float(score)
+            print(f"resuming: {len(done)} ligands already scored in {partial_path}")
+        todo = [(p, n) for p, n in zip(packed, names) if n not in done]
+        results.extend(done.items())
+
+        partial = open(partial_path, "a")
+
+        def record(batch_names, scores):
+            for name, score in zip(batch_names, scores):
+                partial.write(f"{name},{score}\n")
+                results.append((name, score))
+            partial.flush()
+
         if isinstance(screener, ShardedScreener):
             # mesh path: shard_map batches sequentially (each batch already
             # spans every device)
-            for start in range(0, len(packed), args.batch_size):
-                chunk = packed[start : start + args.batch_size]
-                scores = screener.score_packed(chunk)
-                results.extend(zip(names[start : start + args.batch_size], scores))
+            for start in range(0, len(todo), args.batch_size):
+                chunk = todo[start : start + args.batch_size]
+                scores = screener.score_packed([p for p, _ in chunk])
+                record([n for _, n in chunk], scores)
         else:
             executor = ScreeningExecutor(
                 screener, batch_size=args.batch_size,
                 pack_workers=max(1, min(4, pack_threads)),
             )
-            results.extend(zip(names, executor.score_packed(packed)))
+            todo_names = [n for _, n in todo]
+
+            def stream(start, scores):
+                record(todo_names[start : start + len(scores)], scores)
+
+            executor.score_packed([p for p, _ in todo], on_batch=stream)
+        partial.close()
+        partial_path.unlink()  # complete: the sorted CSV is the record
     else:
         assert args.library_dir, "provide -d/--library_dir or --library"
         library = Path(args.library_dir)

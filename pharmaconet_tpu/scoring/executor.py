@@ -54,7 +54,14 @@ class ScreeningExecutor:
         self.batch_size = batch_size
         self.workers = [_PackWorker() for _ in range(pack_workers)]
 
-    def score_packed(self, packed: Sequence[PackedLigand]) -> list[float]:
+    def score_packed(
+        self,
+        packed: Sequence[PackedLigand],
+        on_batch=None,
+    ) -> list[float]:
+        """on_batch(start_index, scores_list), called as each batch's
+        results materialize (in order) — lets callers stream results to
+        disk for crash recovery without losing the pack/device overlap."""
         from .tiled_pack import build_tiled_batch
 
         screener = self.screener
@@ -72,8 +79,11 @@ class ScreeningExecutor:
         )
         if not use_native or n_batches == 1:
             out: list[float] = []
-            for b in batches:
-                out.extend(screener.score_packed(list(b)))
+            for bi, b in enumerate(batches):
+                scores = screener.score_packed(list(b))
+                if on_batch is not None:
+                    on_batch(bi * self.batch_size, scores)
+                out.extend(scores)
             return out
 
         packed_out: list[tuple] = [None] * n_batches  # (live_idx, tb | None)
@@ -136,6 +146,8 @@ class ScreeningExecutor:
                 elif live:
                     # native pack unavailable for this batch: sequential path
                     scores = screener.score_packed(list(batches[bi]))
+                if on_batch is not None:
+                    on_batch(bi * self.batch_size, scores)
                 out.extend(scores)
                 # results materialized — the worker may reuse its buffers
                 self.workers[bi % len(self.workers)].slot.release()

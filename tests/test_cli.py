@@ -148,3 +148,46 @@ def test_end_to_end_example(tmp_path):
     assert mod.main(args) == 0
     lines = (tmp_path / "demo" / "scores.csv").read_text().strip().splitlines()
     assert len(lines) == 13  # header + 12
+
+
+def test_screening_resume_from_partial(pm_model, tmp_path):
+    """A crashed prepacked screen resumes from <out>.partial: already-scored
+    ligands are skipped and the final CSV covers everything exactly once."""
+    from pharmaconet_tpu.cli.prepack import build_parser as prepack_parser
+    from pharmaconet_tpu.cli.prepack import main as prepack_main
+
+    model, model_path = pm_model
+    library = tmp_path / "library"
+    library.mkdir()
+    for i, sdf in enumerate([ETHANOL_SDF, BENZENE_SDF, ACETATE_SDF] * 2):
+        (library / f"mol_{i}.sdf").write_text(sdf)
+    packed_path = tmp_path / "lib.npz"
+    assert prepack_main(prepack_parser().parse_args(
+        ["-d", str(library), "-o", str(packed_path)])) == 0
+
+    out = tmp_path / "scores.csv"
+    # full run to learn the true scores
+    ref_out = tmp_path / "ref.csv"
+    assert screening_main(screening_parser().parse_args(
+        ["-p", str(model_path), "--library", str(packed_path), "-o", str(ref_out)])) == 0
+    ref_rows = dict(
+        line.rsplit(",", 1)
+        for line in ref_out.read_text().strip().splitlines()[1:]
+    )
+
+    # simulate a crash: partial file holds 2 already-scored ligands with
+    # sentinel scores, plus one stale entry from another library
+    some = list(ref_rows)[:2]
+    (tmp_path / "scores.csv.partial").write_text(
+        "".join(f"{n},123.25\n" for n in some) + "other_lib_mol,9.0\n"
+    )
+    assert screening_main(screening_parser().parse_args(
+        ["-p", str(model_path), "--library", str(packed_path), "-o", str(out)])) == 0
+    rows = dict(
+        line.rsplit(",", 1)
+        for line in out.read_text().strip().splitlines()[1:]
+    )
+    assert set(rows) == set(ref_rows)  # stale entry dropped, all covered
+    for n in some:
+        assert float(rows[n]) == 123.25  # resumed, not re-scored
+    assert not (tmp_path / "scores.csv.partial").exists()
