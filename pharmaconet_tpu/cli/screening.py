@@ -83,25 +83,37 @@ def main(args) -> int:
         print(f"loaded {len(packed)} prepacked ligands")
 
         # crash recovery for long screens: batch results append to
-        # <out>.partial as they complete; rerunning the same command skips
-        # ligands already scored there and the final sorted CSV merges both
+        # <out>.partial as they complete (one "index,name,score" line per
+        # ligand — keyed by library index so duplicate names stay distinct);
+        # rerunning the same command skips ligands already scored there and
+        # the final sorted CSV merges both
         partial_path = Path(args.out + ".partial")
-        done: dict[str, float] = {}
+        done: dict[int, float] = {}
         if partial_path.exists():
-            name_set = set(names)
             for line in partial_path.read_text().splitlines():
-                name, score = line.rsplit(",", 1)
-                if name in name_set:  # ignore entries from other libraries
-                    done[name] = float(score)
+                try:
+                    idx_s, rest = line.split(",", 1)
+                    name, score_s = rest.rsplit(",", 1)
+                    idx, score = int(idx_s), float(score_s)
+                except ValueError:
+                    # torn last line from a hard crash — that ligand simply
+                    # gets re-scored
+                    continue
+                if 0 <= idx < len(names) and names[idx] == name:
+                    done[idx] = score  # index+name match ⇒ same library
             print(f"resuming: {len(done)} ligands already scored in {partial_path}")
-        todo = [(p, n) for p, n in zip(packed, names) if n not in done]
-        results.extend(done.items())
+        todo = [
+            (i, p, n)
+            for i, (p, n) in enumerate(zip(packed, names))
+            if i not in done
+        ]
+        results.extend((names[i], s) for i, s in done.items())
 
         partial = open(partial_path, "a")
 
-        def record(batch_names, scores):
-            for name, score in zip(batch_names, scores):
-                partial.write(f"{name},{score}\n")
+        def record(batch, scores):
+            for (idx, name), score in zip(batch, scores):
+                partial.write(f"{idx},{name},{score}\n")
                 results.append((name, score))
             partial.flush()
 
@@ -110,19 +122,19 @@ def main(args) -> int:
             # spans every device)
             for start in range(0, len(todo), args.batch_size):
                 chunk = todo[start : start + args.batch_size]
-                scores = screener.score_packed([p for p, _ in chunk])
-                record([n for _, n in chunk], scores)
+                scores = screener.score_packed([p for _, p, _ in chunk])
+                record([(i, n) for i, _, n in chunk], scores)
         else:
             executor = ScreeningExecutor(
                 screener, batch_size=args.batch_size,
                 pack_workers=max(1, min(4, pack_threads)),
             )
-            todo_names = [n for _, n in todo]
+            todo_keys = [(i, n) for i, _, n in todo]
 
             def stream(start, scores):
-                record(todo_names[start : start + len(scores)], scores)
+                record(todo_keys[start : start + len(scores)], scores)
 
-            executor.score_packed([p for p, _ in todo], on_batch=stream)
+            executor.score_packed([p for _, p, _ in todo], on_batch=stream)
         partial.close()
         partial_path.unlink()  # complete: the sorted CSV is the record
     else:

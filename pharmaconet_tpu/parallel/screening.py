@@ -179,6 +179,38 @@ class ShardedScreener(BatchScreener):
             out[i] = s
         return out
 
+    def _fused_sharded_program(self, d1: int, d2: int, interpret: bool):
+        """Per-instance cache of the jitted fused shard_map program, keyed on
+        the static scan depths; jax.jit's own cache then handles the
+        width/depth shape bucketing without a Python-level re-trace per
+        batch (the bucketing exists precisely so shapes repeat)."""
+        from ..ops.screen_pallas import score_tiles_fused_rows
+
+        if not hasattr(self, "_fused_programs"):
+            self._fused_programs = {}
+        key = (d1, d2, interpret)
+        prog = self._fused_programs.get(key)
+        if prog is None:
+
+            @jax.jit
+            def sharded_score(pos, uv, gtab, aux):
+                def per_shard(pos, uv, gtab, aux):
+                    return score_tiles_fused_rows(
+                        pos[0], uv[0], gtab[0], aux[0],
+                        depth1=d1, depth2=d2, interpret=interpret,
+                    )[None]
+
+                return jax.shard_map(
+                    per_shard,
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 4,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )(pos, uv, gtab, aux)
+
+            prog = self._fused_programs[key] = sharded_score
+        return prog
+
     def _score_shards_tiled_native(
         self, shards: list[list[PackedLigand]], cmax: int
     ) -> list[float] | None:
@@ -232,22 +264,7 @@ class ShardedScreener(BatchScreener):
             for f in ("pos_blocks", "uv", "gtab", "aux")
         ]
 
-        @jax.jit
-        def sharded_score(pos, uv, gtab, aux):
-            def per_shard(pos, uv, gtab, aux):
-                return score_tiles_fused_rows(
-                    pos[0], uv[0], gtab[0], aux[0],
-                    depth1=d1, depth2=d2, interpret=interpret,
-                )[None]
-
-            return jax.shard_map(
-                per_shard,
-                mesh=self.mesh,
-                in_specs=(P(DATA_AXIS),) * 4,
-                out_specs=P(DATA_AXIS),
-                check_vma=False,
-            )(pos, uv, gtab, aux)
-
+        sharded_score = self._fused_sharded_program(d1, d2, interpret)
         tables = np.asarray(sharded_score(*stacked))  # [n_dev, NST, C]
         scores: list[float] = []
         for k, tb in enumerate(tbs):

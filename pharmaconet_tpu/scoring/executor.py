@@ -53,6 +53,7 @@ class ScreeningExecutor:
         self.screener = screener
         self.batch_size = batch_size
         self.workers = [_PackWorker() for _ in range(pack_workers)]
+        self._hint_lock = threading.Lock()
 
     def score_packed(
         self,
@@ -109,14 +110,15 @@ class ScreeningExecutor:
                             buffer_cache=worker.cache,
                         )
                         if tb is not None:
-                            # learn the rows-per-ligand estimate (a float
-                            # store; worker races only jitter the moving
-                            # average) so later batches size their first
-                            # allocation right
-                            screener._rows_hint = (
-                                0.7 * screener._rows_hint
-                                + 0.3 * (tb.nst / max(1, len(live)))
-                            )
+                            # learn the rows-per-ligand estimate so later
+                            # batches size their first allocation right;
+                            # locked: the moving average is a read-modify-
+                            # write shared across pack workers
+                            with self._hint_lock:
+                                screener._rows_hint = (
+                                    0.7 * screener._rows_hint
+                                    + 0.3 * (tb.nst / max(1, len(live)))
+                                )
                     packed_out[bi] = (live, tb)
                 except BaseException as e:  # surface in the main thread
                     errors.append(e)

@@ -175,11 +175,17 @@ def test_screening_resume_from_partial(pm_model, tmp_path):
         for line in ref_out.read_text().strip().splitlines()[1:]
     )
 
-    # simulate a crash: partial file holds 2 already-scored ligands with
-    # sentinel scores, plus one stale entry from another library
-    some = list(ref_rows)[:2]
+    # simulate a crash: partial file holds 2 already-scored ligands (keyed
+    # by library index) with sentinel scores, a stale entry from another
+    # library, and a torn final line from the hard crash itself
+    from pharmaconet_tpu.scoring.library import load_library
+
+    _, lib_names = load_library(packed_path)
+    some = [(0, lib_names[0]), (1, lib_names[1])]
     (tmp_path / "scores.csv.partial").write_text(
-        "".join(f"{n},123.25\n" for n in some) + "other_lib_mol,9.0\n"
+        "".join(f"{i},{n},123.25\n" for i, n in some)
+        + "3,other_lib_mol,9.0\n"      # index/name mismatch → re-scored
+        + f"4,{lib_names[4]},2.7"      # torn line (no newline, but parses)
     )
     assert screening_main(screening_parser().parse_args(
         ["-p", str(model_path), "--library", str(packed_path), "-o", str(out)])) == 0
@@ -188,6 +194,48 @@ def test_screening_resume_from_partial(pm_model, tmp_path):
         for line in out.read_text().strip().splitlines()[1:]
     )
     assert set(rows) == set(ref_rows)  # stale entry dropped, all covered
-    for n in some:
+    for _, n in some:
         assert float(rows[n]) == 123.25  # resumed, not re-scored
+    assert not (tmp_path / "scores.csv.partial").exists()
+
+
+def test_screening_resume_torn_line_and_duplicates(pm_model, tmp_path):
+    """A torn (malformed) trailing line in <out>.partial is skipped instead
+    of crashing the resume, and duplicate ligand names stay distinct rows
+    because the partial file is keyed by library index."""
+    from pharmaconet_tpu.cli.prepack import build_parser as prepack_parser
+    from pharmaconet_tpu.cli.prepack import main as prepack_main
+
+    model, model_path = pm_model
+    library = tmp_path / "library"
+    library.mkdir()
+    # two subdirs holding identically-named files → duplicate ligand names
+    for sub in ("a", "b"):
+        d = library / sub
+        d.mkdir()
+        (d / "mol.sdf").write_text(ETHANOL_SDF if sub == "a" else BENZENE_SDF)
+        (d / "mol2.sdf").write_text(ACETATE_SDF)
+    packed_path = tmp_path / "lib.npz"
+    assert prepack_main(prepack_parser().parse_args(
+        ["-d", str(library), "-o", str(packed_path)])) == 0
+    from pharmaconet_tpu.scoring.library import load_library
+
+    _, lib_names = load_library(packed_path)
+
+    out = tmp_path / "scores.csv"
+    ref_out = tmp_path / "ref.csv"
+    assert screening_main(screening_parser().parse_args(
+        ["-p", str(model_path), "--library", str(packed_path), "-o", str(ref_out)])) == 0
+    n_ref = len(ref_out.read_text().strip().splitlines()) - 1
+    assert n_ref == len(lib_names)  # duplicates are not collapsed
+
+    # partial: one valid entry + one torn line (crash mid-write)
+    (tmp_path / "scores.csv.partial").write_text(
+        f"0,{lib_names[0]},123.25\n1,{lib_names[1]},7.\xbf"
+    )
+    assert screening_main(screening_parser().parse_args(
+        ["-p", str(model_path), "--library", str(packed_path), "-o", str(out)])) == 0
+    lines = out.read_text().strip().splitlines()[1:]
+    assert len(lines) == n_ref  # resumed run emits exactly as many rows
+    assert sum(line.endswith(",123.25") for line in lines) == 1
     assert not (tmp_path / "scores.csv.partial").exists()
