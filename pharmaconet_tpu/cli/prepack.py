@@ -1,8 +1,18 @@
 """Prepack a ligand library for repeated screening runs.
 
-Parses + perceives every .sdf/.mol2 under a directory once and stores the
-packed pharmacophore graphs as flat arrays (screening then starts directly
-at the device phase; SURVEY.md §7 hard-part 5).
+Two levels of prepacking:
+
+1. Model-independent packed library (.npz): parse + perceive every
+   .sdf/.mol2 under a directory once; screening starts at the device
+   phase (SURVEY.md §7 hard-part 5).
+2. Model-specific tile store (--tiles_out, needs --model): additionally
+   run the one-pass C++ tile packer for a given pharmacophore model and
+   store the final device arrays + host-tail metadata on disk
+   (scoring/tiled_store.py). Screening then skips the per-batch host
+   pack entirely — the production bottleneck (~150 ms/batch/core).
+
+The reference has no equivalent: its screening re-parses every ligand
+file per run in a fork pool (/root/reference/screening.py:46-75).
 """
 
 from __future__ import annotations
@@ -15,26 +25,89 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         "prepack", formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
-    parser.add_argument("-d", "--library_dir", type=str, required=True,
+    parser.add_argument("-d", "--library_dir", type=str,
                         help="ligand file directory (.sdf/.mol2)")
-    parser.add_argument("-o", "--out", type=str, required=True,
+    parser.add_argument("--library", type=str,
+                        help="existing packed library (.npz) to start from "
+                             "(instead of -d)")
+    parser.add_argument("-o", "--out", type=str,
                         help="output packed library (.npz)")
     parser.add_argument("--num_conformers", type=int, default=None,
                         help="cap conformers per ligand")
     parser.add_argument("--cpus", type=int, default=1,
                         help="worker processes for parsing")
+
+    tiles = parser.add_argument_group("tile store (model-specific)")
+    tiles.add_argument("--tiles_out", type=str,
+                       help="write a screen-ready tile store directory")
+    tiles.add_argument("-p", "--pharmacophore_model", type=str,
+                       help="pharmacophore model (.pm|.json) the tile store "
+                            "is packed for")
+    tiles.add_argument("--batch_size", type=int, default=2048,
+                       help="ligands per stored batch")
+    tiles.add_argument("--pack_threads", type=int, default=1,
+                       help="host threads for the native tile packer")
+
+    param = parser.add_argument_group("screening weights (baked into tiles)")
+    param.add_argument("--hydrophobic", type=float, default=1.0)
+    param.add_argument("--aromatic", type=float, default=4.0)
+    param.add_argument("--hba", type=float, default=4.0)
+    param.add_argument("--hbd", type=float, default=4.0)
+    param.add_argument("--halogen", type=float, default=4.0)
+    param.add_argument("--anion", type=float, default=8.0)
+    param.add_argument("--cation", type=float, default=8.0)
     return parser
 
 
 def main(args) -> int:
-    from pharmaconet_tpu.scoring.library import build_library_from_files, save_library
+    from pharmaconet_tpu.scoring.library import (
+        build_library_from_files,
+        load_library,
+        save_library,
+    )
 
-    library = Path(args.library_dir)
-    files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
-    print(f"packing {len(files)} ligand files ...")
-    packed, names = build_library_from_files(files, args.num_conformers, cpus=args.cpus)
-    save_library(args.out, packed, names)
-    print(f"packed {len(packed)} ligands -> {args.out}")
+    if args.library:
+        packed, names = load_library(args.library)
+        print(f"loaded {len(packed)} prepacked ligands from {args.library}")
+    else:
+        assert args.library_dir, "provide -d/--library_dir or --library"
+        library = Path(args.library_dir)
+        files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
+        print(f"packing {len(files)} ligand files ...")
+        packed, names = build_library_from_files(
+            files, args.num_conformers, cpus=args.cpus
+        )
+    if args.out:
+        save_library(args.out, packed, names)
+        print(f"packed {len(packed)} ligands -> {args.out}")
+
+    if args.tiles_out:
+        assert args.pharmacophore_model, (
+            "--tiles_out needs -p/--pharmacophore_model (tile stores are "
+            "model-specific)"
+        )
+        from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+        from pharmaconet_tpu.scoring.batch_screen import PackedModel
+        from pharmaconet_tpu.scoring.tiled_store import write_tiled_store
+
+        weights = dict(
+            Cation=args.cation, Anion=args.anion, Aromatic=args.aromatic,
+            HBond_donor=args.hbd, HBond_acceptor=args.hba,
+            Halogen=args.halogen, Hydrophobic=args.hydrophobic,
+        )
+        model = PackedModel.from_model(
+            PharmacophoreModel.load(args.pharmacophore_model), weights
+        )
+        meta = write_tiled_store(
+            args.tiles_out, model, packed, names,
+            batch_size=args.batch_size, threads=args.pack_threads,
+        )
+        print(
+            f"tile store: {meta['n_batches']} batches of {meta['batch_size']} "
+            f"(width {meta['width']}, cmax {meta['cmax']}) -> {args.tiles_out}"
+        )
+    elif not args.out:
+        raise SystemExit("nothing to do: provide -o and/or --tiles_out")
     return 0
 
 

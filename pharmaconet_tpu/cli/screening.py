@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="molecular library directory path (.sdf/.mol2 files)")
     cfg.add_argument("--library", type=str,
                      help="prepacked ligand library (.npz from prepack.py)")
+    cfg.add_argument("--library_tiles", type=str,
+                     help="model-specific tile store directory "
+                          "(prepack.py --tiles_out; skips the host pack)")
     cfg.add_argument("-o", "--out", type=str, required=True, help="result CSV path")
     cfg.add_argument("--batch_size", type=int, default=1024, help="ligands per device batch")
     cfg.add_argument("--cpus", type=int, default=1,
@@ -72,22 +75,12 @@ def main(args) -> int:
 
     results: list[tuple[str, float]] = []
 
-    if args.library:
-        # prepacked library: skip parsing/perception entirely; the executor
-        # overlaps C++ packing (GIL-released worker threads) with device
-        # dispatch + host postprocessing, preserving score order
-        from pharmaconet_tpu.scoring.executor import ScreeningExecutor
-        from pharmaconet_tpu.scoring.library import load_library
-
-        packed, names = load_library(args.library)
-        print(f"loaded {len(packed)} prepacked ligands")
-
-        # crash recovery for long screens: batch results append to
-        # <out>.partial as they complete (one "index,name,score" line per
-        # ligand — keyed by library index so duplicate names stay distinct);
-        # rerunning the same command skips ligands already scored there and
-        # the final sorted CSV merges both
-        partial_path = Path(args.out + ".partial")
+    # crash recovery for long screens: batch results append to
+    # <out>.partial as they complete (one "index,name,score" line per
+    # ligand — keyed by library index so duplicate names stay distinct);
+    # rerunning the same command skips ligands already scored there and
+    # the final sorted CSV merges both
+    def load_partial(partial_path: Path, names: list[str]) -> dict[int, float]:
         done: dict[int, float] = {}
         if partial_path.exists():
             for line in partial_path.read_text().splitlines():
@@ -102,6 +95,77 @@ def main(args) -> int:
                 if 0 <= idx < len(names) and names[idx] == name:
                     done[idx] = score  # index+name match ⇒ same library
             print(f"resuming: {len(done)} ligands already scored in {partial_path}")
+        return done
+
+    if args.library_tiles:
+        # tile store: device arrays were packed at prepack time, so the
+        # per-batch host work is just the pair-row gather + C++ DFS; batch
+        # i+1 is dispatched (async) before batch i's tail runs, keeping
+        # the device busy while the host post-processes
+        from pharmaconet_tpu.scoring.tiled_store import TiledStore
+
+        base_screener = screener  # stored batches dispatch on one device
+        if not jax.devices()[0].device_kind.startswith("TPU"):
+            # stored batches always run the fused Pallas kernel; off-TPU
+            # (tests, CPU smoke runs) that means interpret mode
+            base_screener.pallas_interpret = True
+        store = TiledStore(args.library_tiles, base_screener.packed_model)
+        names = store.names()
+        print(f"tile store: {store.n_ligands} ligands in {store.n_batches} batches")
+
+        partial_path = Path(args.out + ".partial")
+        done = load_partial(partial_path, names)
+        results.extend((names[i], s) for i, s in done.items())
+        partial = open(partial_path, "a")
+
+        def record(batch, scores):
+            for (idx, name), score in zip(batch, scores):
+                partial.write(f"{idx},{name},{score}\n")
+                results.append((name, score))
+            partial.flush()
+
+        def emit(sb, rows, base):
+            if rows is None:
+                scores = [0.0] * sb.batch_len
+            else:
+                scores = base_screener.postprocess_stored(sb, rows)
+            keys, vals = [], []
+            for j, s in enumerate(scores):
+                gi = base + j
+                if gi not in done:
+                    keys.append((gi, names[gi]))
+                    vals.append(s)
+            record(keys, vals)
+
+        pending = None
+        for bi in range(store.n_batches):
+            base = bi * store.batch_size
+            size = min(store.batch_size, store.n_ligands - base)
+            if all(base + j in done for j in range(size)):
+                continue
+            sb = store.load(bi)
+            rows = None
+            if sb.gtab is not None:
+                rows = base_screener.dispatch_tb(sb)
+            if pending is not None:
+                emit(*pending)
+            pending = (sb, rows, base)
+        if pending is not None:
+            emit(*pending)
+        partial.close()
+        partial_path.unlink()  # complete: the sorted CSV is the record
+    elif args.library:
+        # prepacked library: skip parsing/perception entirely; the executor
+        # overlaps C++ packing (GIL-released worker threads) with device
+        # dispatch + host postprocessing, preserving score order
+        from pharmaconet_tpu.scoring.executor import ScreeningExecutor
+        from pharmaconet_tpu.scoring.library import load_library
+
+        packed, names = load_library(args.library)
+        print(f"loaded {len(packed)} prepacked ligands")
+
+        partial_path = Path(args.out + ".partial")
+        done = load_partial(partial_path, names)
         todo = [
             (i, p, n)
             for i, (p, n) in enumerate(zip(packed, names))
@@ -138,7 +202,9 @@ def main(args) -> int:
         partial.close()
         partial_path.unlink()  # complete: the sorted CSV is the record
     else:
-        assert args.library_dir, "provide -d/--library_dir or --library"
+        assert args.library_dir, (
+            "provide -d/--library_dir, --library, or --library_tiles"
+        )
         library = Path(args.library_dir)
         files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
         print(f"find {len(files)} molecules")
