@@ -171,12 +171,23 @@ def _to_f32(tree):
 # --------------------------------------------------------------------------
 # Synthetic torch-format state dict (shape-exact) for tests without weights
 # --------------------------------------------------------------------------
-def synthesize_torch_state_dict(seed: int = 0) -> dict[str, np.ndarray]:
+def synthesize_torch_state_dict(
+    seed: int = 0, weight_scale: float = 1.0
+) -> dict[str, np.ndarray]:
+    """weight_scale multiplies every learned weight's init std (base 0.05).
+    The default amplifies activations ~4x per conv (logits reach ~8e4,
+    sigmoids saturate to exact 0/1 — good for activation-diff parity
+    tests). The deep trunk sits on a razor's edge: 0.5x COLLAPSES logits
+    to ~0 while 1.0x saturates; measured round 3, ~0.7x lands in between
+    (token logits spread over a few units) — used with a scanned seed by
+    the real-NN modeling parity harness."""
     rng = np.random.default_rng(seed)
     state: dict[str, np.ndarray] = {}
 
     def add(name: str, *shape: int, scale: float = 0.05) -> None:
-        state[name] = rng.normal(0.0, scale, size=shape).astype(np.float32)
+        state[name] = rng.normal(0.0, scale * weight_scale, size=shape).astype(
+            np.float32
+        )
 
     def add_linear(prefix: str, din: int, dout: int, bias: bool = True) -> None:
         add(f"{prefix}.weight", dout, din)

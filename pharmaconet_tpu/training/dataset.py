@@ -151,3 +151,69 @@ class PocketLigandDataset:
 def collate_identity(batch: list[PocketItem]) -> list[PocketItem]:
     """Identity collate (developer trainer.py:185-186)."""
     return batch
+
+
+# --------------------------------------------------------------------------
+# Data-parallel batch preparation: items re-padded to COMMON bucket shapes
+# so the DP step can stack them on a leading batch axis and shard it over
+# the ('data',) mesh. All padding is exactly masked downstream (hotspot
+# rows via hotspot_valid; pad atoms/edges dump into the fake graph slot
+# `ng` / the last invalid atom row, both excluded by atom_valid /
+# ligand_valid — same invariants the per-item bucketing already relies on).
+# --------------------------------------------------------------------------
+def _repad_item(
+    item: PocketItem, k_pad: int, vp: int, ep: int, ng: int, max_atoms: int
+) -> PocketItem:
+    hf0 = item.hotspot_features
+    k0 = hf0.shape[0]
+    ai, ag, av, es, ed, ei, ev, ng0 = item.batch_arrays
+    ai, ag, av, es, ed, ei, ev = (
+        np.asarray(a) for a in (ai, ag, av, es, ed, ei, ev)
+    )
+    if (k0, ai.shape[0], es.shape[0], int(ng0), item.max_atoms) == (
+        k_pad, vp, ep, ng, max_atoms
+    ):
+        return item
+    vp0, ep0 = ai.shape[0], es.shape[0]
+
+    hf = np.zeros((k_pad, hf0.shape[1]), np.float32)
+    hp = np.zeros((k_pad, 3), np.float32)
+    hv = np.zeros(k_pad, bool)
+    hf[:k0], hp[:k0], hv[:k0] = hf0, item.hotspot_positions, item.hotspot_valid
+
+    ai2 = np.zeros((vp,) + ai.shape[1:], ai.dtype)
+    ai2[:vp0] = ai
+    # dump rows (invalid atoms) must point at the NEW fake-graph index
+    ag2 = np.full(vp, ng, np.int32)
+    ag2[:vp0] = np.where(av, ag, ng)
+    av2 = np.zeros(vp, bool)
+    av2[:vp0] = av
+    es2 = np.full(ep, vp - 1, np.int32)
+    es2[:ep0] = np.where(ev, es, vp - 1)
+    ed2 = np.full(ep, vp - 1, np.int32)
+    ed2[:ep0] = np.where(ev, ed, vp - 1)
+    ei2 = np.zeros((ep,) + ei.shape[1:], ei.dtype)
+    ei2[:ep0] = ei
+    ev2 = np.zeros(ep, bool)
+    ev2[:ep0] = ev
+
+    aff = np.zeros(ng, np.float32)
+    aff[: len(item.affinities)] = item.affinities
+    lv = np.zeros(ng, np.float32)
+    lv[: len(item.ligand_valid)] = item.ligand_valid
+    ba = tuple(jnp.asarray(a) for a in (ai2, ag2, av2, es2, ed2, ei2, ev2)) + (ng,)
+    return PocketItem(
+        multi_scale_features=item.multi_scale_features,
+        hotspot_features=hf, hotspot_positions=hp, hotspot_valid=hv,
+        batch_arrays=ba, affinities=aff, ligand_valid=lv, max_atoms=max_atoms,
+    )
+
+
+def repad_items(items: list[PocketItem]) -> list[PocketItem]:
+    """Re-pad a batch of items to their common (maximum) bucket shapes."""
+    k = max(i.hotspot_features.shape[0] for i in items)
+    vp = max(np.asarray(i.batch_arrays[0]).shape[0] for i in items)
+    ep = max(np.asarray(i.batch_arrays[3]).shape[0] for i in items)
+    ng = max(int(i.batch_arrays[-1]) for i in items)
+    max_atoms = max(i.max_atoms for i in items)
+    return [_repad_item(i, k, vp, ep, ng, max_atoms) for i in items]

@@ -71,7 +71,18 @@ class _Prefetcher:
 
 
 class Trainer:
-    def __init__(self, config: Config, pmnet=None):
+    """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
+    fit() runs the data-parallel step: the per-pocket items of each batch
+    are re-padded to common bucket shapes (training/dataset.repad_items),
+    stacked on a leading batch axis sharded over 'data', with params and
+    optimizer state replicated — XLA inserts the gradient all-reduce over
+    ICI from the sharding annotations. This is the counterpart of scaling
+    the reference's developer trainer (developer/src/trainer.py:46-84,
+    15,201-pocket CrossDocked2020 runs) across a pod slice; the reference
+    itself is single-device."""
+
+    def __init__(self, config: Config, pmnet=None, mesh=None):
+        self.mesh = mesh
         self.config = config
         self.log_dir = Path(config.log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -192,6 +203,76 @@ class Trainer:
         self._train_step_jit = train_step_jit  # exposed for cache checks
         self._loss_fn = eval_loss
 
+        if self.mesh is not None:
+            self._dp_programs: dict[tuple[int, int], object] = {}
+
+    # ------------------------------------------------------------------
+    # Data-parallel step (mesh with a 'data' axis)
+    # ------------------------------------------------------------------
+    def _dp_program(self, max_atoms: int, ng: int):
+        """One jitted DP program per (max_atoms, ng) static pair; the jit
+        cache handles the remaining shape buckets."""
+        prog = self._dp_programs.get((max_atoms, ng))
+        if prog is not None:
+            return prog
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.mesh, P())
+        sharded = NamedSharding(self.mesh, P("data"))
+        model, optimizer = self.model, self.optimizer
+
+        def step(params, opt_state, batch):
+            feats5, hf, hp, ba7, aff, lv, hv = batch
+
+            def batch_loss(p):
+                def one(f5, hf1, hp1, ba71, aff1, lv1, hv1):
+                    return model.apply(
+                        p, list(f5), hf1, hp1, (*ba71, ng), aff1, lv1,
+                        max_atoms, hv1, method="loss",
+                    )
+
+                return jnp.mean(jax.vmap(one)(feats5, hf, hp, ba7, aff, lv, hv))
+
+            loss, grads = jax.value_and_grad(batch_loss)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        prog = jax.jit(
+            step,
+            in_shardings=(replicated, replicated, sharded),
+            out_shardings=(replicated, replicated, replicated),
+        )
+        self._dp_programs[(max_atoms, ng)] = prog
+        return prog
+
+    def dp_step(self, params, opt_state, items):
+        """Run one data-parallel step on a batch of PocketItems."""
+        from .dataset import repad_items
+
+        n_dev = self.mesh.devices.size
+        assert len(items) % n_dev == 0, (
+            f"DP batch size {len(items)} must divide the mesh size {n_dev}"
+        )
+        items = repad_items(items)
+        max_atoms = items[0].max_atoms
+        ng = int(items[0].batch_arrays[-1])
+        feats5 = tuple(
+            jnp.stack([jnp.asarray(i.multi_scale_features[lvl]) for i in items])
+            for lvl in range(len(items[0].multi_scale_features))
+        )
+        hf = jnp.stack([jnp.asarray(i.hotspot_features) for i in items])
+        hp = jnp.stack([jnp.asarray(i.hotspot_positions) for i in items])
+        hv = jnp.stack([jnp.asarray(i.hotspot_valid) for i in items])
+        ba7 = tuple(
+            jnp.stack([jnp.asarray(i.batch_arrays[j]) for i in items])
+            for j in range(7)
+        )
+        aff = jnp.stack([jnp.asarray(i.affinities) for i in items])
+        lv = jnp.stack([jnp.asarray(i.ligand_valid) for i in items])
+        batch = (feats5, hf, hp, ba7, aff, lv, hv)
+        return self._dp_program(max_atoms, ng)(params, opt_state, batch)
+
     # ------------------------------------------------------------------
     def fit(self, resume_from: str | Path | None = None):
         cfg = self.config.train
@@ -206,10 +287,15 @@ class Trainer:
                 if it > cfg.max_iterations:
                     break
                 tick = time.time()
-                args = [item.loss_args() for item in items]
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, args
-                )
+                if self.mesh is not None:
+                    self.params, self.opt_state, loss = self.dp_step(
+                        self.params, self.opt_state, items
+                    )
+                else:
+                    args = [item.loss_args() for item in items]
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state, args
+                    )
                 info = {"loss": float(loss), "time": time.time() - tick}
                 if it % cfg.print_every == 0:
                     logger.info(

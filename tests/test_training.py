@@ -135,6 +135,51 @@ def test_train_step_converges(train_setup):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_dp_trainer_step_matches_single_device(train_setup):
+    """The data-parallel Trainer step (items re-padded to common buckets,
+    stacked, batch axis sharded over an 8-device mesh) produces the same
+    loss and updated params as the per-item single-device step."""
+    import jax
+
+    from pharmaconet_tpu.parallel.mesh import data_mesh
+
+    config, pmnet = train_setup
+    config.log_dir = config.log_dir + "_dp"
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+    trainer = Trainer(config, pmnet=pmnet, mesh=mesh)
+    # 8 items (one per device) built from the 2 pockets, round-robin
+    items = [trainer.train_dataset[i % 2] for i in range(8)]
+    params0, opt0 = trainer.params, trainer.opt_state
+
+    args = [i.loss_args() for i in items]
+    params_ref, _, loss_ref = trainer._train_step(params0, opt0, args)
+    params_dp, _, loss_dp = trainer.dp_step(params0, opt0, items)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_dp), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_dp_trainer_fit(train_setup):
+    """fit() drives the DP path end-to-end on a mesh (2 devices — the
+    micro setup's batch_size is 2, and the DP step requires the batch to
+    divide the mesh)."""
+    import jax
+
+    from pharmaconet_tpu.parallel.mesh import data_mesh
+
+    config, pmnet = train_setup
+    config.log_dir = config.log_dir + "_dpfit"
+    trainer = Trainer(config, pmnet=pmnet, mesh=data_mesh(jax.devices()[:2]))
+    trainer.fit()
+    assert (trainer.save_dir / "last.npz").exists()
+    metrics = (trainer.log_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) >= 3
+
+
 def test_train_step_compiles_once_per_bucket(train_setup):
     """Items whose ragged axes land in the same half-octave buckets must
     reuse ONE compiled train step (the point of the bucketed dataset)."""
