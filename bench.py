@@ -276,6 +276,55 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
     return batch_size / per_batch
 
 
+def bench_stored_pipeline(batch_size: int, iters: int):
+    """Tile-store screening host tail: the per-batch host cost when the
+    device layout was packed at prepack time (scoring/tiled_store.py) —
+    batch load (mmap, warm page cache) + pair-row compaction + prune-mask
+    application + the C++ DFS. A zeros array stands in for the device
+    result (its materialization cost is included). This is the production
+    per-core host number for `screening.py --library_tiles`; compare
+    BENCH_MODE=host (pack-at-screen-time, ~214 ms/batch)."""
+    import tempfile
+    import time as _time
+
+    from pharmaconet_tpu.scoring.batch_screen import BatchScreener
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_tiled_store
+
+    model = make_synthetic_model()
+    screener = BatchScreener(model)
+    packed = make_synthetic_ligands(batch_size)
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    write_tiled_store(
+        tmp, screener.packed_model, packed,
+        [f"l{i}" for i in range(batch_size)],
+        batch_size=batch_size, verbose=False,
+    )
+    store = TiledStore(tmp, screener.packed_model)
+    sb = store.load(0)
+    nst_pad = sb.gtab.shape[0] * sb.gtab.shape[3]
+    cmax = sb.pos_blocks.shape[1] // 3
+    screener.postprocess_stored(sb, np.zeros((nst_pad, cmax), np.float32))
+
+    times = []
+    for _ in range(iters):
+        t0 = _time.perf_counter()
+        sb = store.load(0)
+        rows = np.zeros((nst_pad, cmax), np.float32)
+        scores = screener.postprocess_stored(sb, rows)
+        assert len(scores) == batch_size
+        times.append(_time.perf_counter() - t0)
+    import statistics
+
+    per_batch = statistics.median(times)
+    print(
+        f"[bench] stored-pipeline: {per_batch*1e3:.0f} ms/batch -> "
+        f"{batch_size/per_batch:,.0f} lig/s per host core "
+        "(load+compact+prune+dfs; pack was paid at prepack time)",
+        file=sys.stderr,
+    )
+    return batch_size / per_batch
+
+
 def main():
     import os
 
@@ -295,6 +344,14 @@ def main():
             # BASELINE.json defines no numeric target for proxy inference
             # (config #5); the 100k/s target applies to screening only
             "vs_baseline": None,
+        }))
+        return
+    if mode == "stored":
+        value = bench_stored_pipeline(batch_size, max(3, iters // 2))
+        print(json.dumps({
+            "metric": "screening_stored_host_throughput", "value": round(value, 1),
+            "unit": "ligands/sec/core",
+            "vs_baseline": round(value / 100000.0, 3),
         }))
         return
     if mode in ("host", "e2e"):

