@@ -143,6 +143,28 @@ def get_match_dfs():
     return lib.match_dfs
 
 
+def get_smi2graph():
+    """Returns the ctypes smi2graph_batch symbol, or None if unavailable."""
+    lib = _load("smi_graph", "smi_graph.cpp", "libsmigraph.so")
+    if lib is None:
+        return None
+    if not hasattr(lib.smi2graph_batch, "_configured"):
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.smi2graph_batch.restype = ctypes.c_int32
+        lib.smi2graph_batch.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int32,  # text, offsets, n_mols
+            i32p, f32p,  # atom_class, atom_features
+            i32p, i32p, i32p, f32p,  # edge_src/dst/class, edge_features
+            i64p, i64p, i8p,  # v_offsets, e_offsets, status
+            ctypes.c_int64, ctypes.c_int64, i64p,  # cap_v, cap_e, out
+        ]
+        lib.smi2graph_batch._configured = True
+    return lib.smi2graph_batch
+
+
 def get_pack_tiled():
     """Returns the ctypes pack_tiled symbol (fused tiled packer), or None."""
     lib = _load("pack_tiled", "pack_tiled.cpp", "libpacktiled.so",

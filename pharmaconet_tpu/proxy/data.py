@@ -90,6 +90,85 @@ def smi2graph(smiles: str) -> LigandGraphArrays:
     return mol_to_graph(parse_smiles(smiles))
 
 
+def smi2graph_list(
+    smiles_list: list[str], native: bool | None = None
+) -> list[LigandGraphArrays | None]:
+    """Batch featurization; None marks an unparseable SMILES (the proxies'
+    invalid-SMILES masking path). Dispatches to the one-pass C++ parser
+    (native/smi_graph.cpp, ~20x the Python parser per molecule and one
+    ctypes call per batch); molecules it does not cover (explicit-H atoms,
+    exotic elements) fall back to the Python parser — outputs are
+    element-equal either way (CI-tested)."""
+    from ..native import get_smi2graph
+
+    fn = None if native is False else get_smi2graph()
+    if fn is None:
+        if native is True:
+            raise RuntimeError("native smi2graph unavailable")
+        out: list[LigandGraphArrays | None] = []
+        for smi in smiles_list:
+            try:
+                out.append(smi2graph(smi))
+            except Exception:  # noqa: BLE001 - invalid-SMILES masking
+                out.append(None)
+        return out
+
+    encoded = [s.encode("utf-8", "replace") for s in smiles_list]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in encoded], out=offsets[1:])
+    text = b"".join(encoded)
+    n = len(encoded)
+    cap_v = max(256, int(offsets[-1]))  # <=1 heavy atom per SMILES byte
+    cap_e = max(256, cap_v + n)  # E <= V + rings; rings need >=2 chars each
+    while True:
+        atom_class = np.empty(cap_v, np.int32)
+        atom_features = np.empty((cap_v, NUM_ATOM_FEATURES), np.float32)
+        edge_src = np.empty(cap_e, np.int32)
+        edge_dst = np.empty(cap_e, np.int32)
+        edge_class = np.empty(cap_e, np.int32)
+        edge_features = np.empty((cap_e, NUM_BOND_FEATURES), np.float32)
+        v_off = np.empty(n + 1, np.int64)
+        e_off = np.empty(n + 1, np.int64)
+        status = np.empty(n, np.int8)
+        out_req = np.zeros(2, np.int64)
+        rc = fn(
+            text, offsets, n, atom_class, atom_features,
+            edge_src, edge_dst, edge_class, edge_features,
+            v_off, e_off, status, cap_v, cap_e, out_req,
+        )
+        if rc == 0:
+            break
+        cap_v = max(cap_v * 2, int(out_req[0]))
+        cap_e = max(cap_e * 2, int(out_req[1]))
+
+    results: list[LigandGraphArrays | None] = []
+    for m in range(n):
+        st = int(status[m])
+        if st == 0:
+            v0, v1 = int(v_off[m]), int(v_off[m + 1])
+            e0, e1 = int(e_off[m]), int(e_off[m + 1])
+            results.append(
+                LigandGraphArrays(
+                    # views into the batch buffers (each call allocates
+                    # fresh ones, so aliasing is safe)
+                    atom_class=atom_class[v0:v1],
+                    atom_features=atom_features[v0:v1],
+                    edge_src=edge_src[e0:e1],
+                    edge_dst=edge_dst[e0:e1],
+                    edge_class=edge_class[e0:e1],
+                    edge_features=edge_features[e0:e1],
+                )
+            )
+        elif st == 2:  # construct the C++ parser skips: python handles it
+            try:
+                results.append(smi2graph(smiles_list[m]))
+            except Exception:  # noqa: BLE001
+                results.append(None)
+        else:
+            results.append(None)
+    return results
+
+
 @dataclass
 class GraphBatch:
     """Concatenated padded batch: jraph-style segment layout."""
@@ -137,11 +216,18 @@ def batch_graphs(
     batches would otherwise recompile nearly every call)."""
     ng = num_graphs_pad if num_graphs_pad is not None else len(graphs)
     assert ng >= len(graphs)
-    total_v = sum(g.num_atoms for g in graphs)
-    total_e = sum(len(g.edge_src) for g in graphs)
+    n = len(graphs)
+    v_counts = np.fromiter((g.num_atoms for g in graphs), np.int64, count=n)
+    e_counts = np.fromiter((len(g.edge_src) for g in graphs), np.int64, count=n)
+    total_v = int(v_counts.sum())
+    total_e = int(e_counts.sum())
     vp = _round_up(total_v, pad_multiple)
     ep = _round_up(max(total_e, 1), pad_multiple)
+    v_starts = np.zeros(n, np.int64)
+    np.cumsum(v_counts[:-1], out=v_starts[1:])
 
+    # vectorized assembly (the per-graph slice-assignment loop cost ~35 ms
+    # at 2048 graphs — comparable to the whole C++ featurization pass)
     atom_class = np.full(vp, 0, dtype=np.int32)
     atom_features = np.zeros((vp, NUM_ATOM_FEATURES), dtype=np.float32)
     atom_graph = np.full(vp, ng, dtype=np.int32)
@@ -152,24 +238,30 @@ def batch_graphs(
     edge_features = np.zeros((ep, NUM_BOND_FEATURES), dtype=np.float32)
     edge_valid = np.zeros(ep, dtype=bool)
 
-    v_off = e_off = 0
-    for gi, g in enumerate(graphs):
-        v, e = g.num_atoms, len(g.edge_src)
-        atom_class[v_off : v_off + v] = g.atom_class
-        atom_features[v_off : v_off + v] = g.atom_features
-        atom_graph[v_off : v_off + v] = gi
-        atom_valid[v_off : v_off + v] = True
-        edge_src[e_off : e_off + e] = g.edge_src + v_off
-        edge_dst[e_off : e_off + e] = g.edge_dst + v_off
-        edge_class[e_off : e_off + e] = g.edge_class
-        edge_features[e_off : e_off + e] = g.edge_features
-        edge_valid[e_off : e_off + e] = True
-        v_off += v
-        e_off += e
+    if n:
+        np.concatenate([g.atom_class for g in graphs], out=atom_class[:total_v])
+        np.concatenate(
+            [g.atom_features for g in graphs], out=atom_features[:total_v]
+        )
+        atom_graph[:total_v] = np.repeat(
+            np.arange(n, dtype=np.int32), v_counts
+        )
+        atom_valid[:total_v] = True
+    if n and total_e:
+        shift = np.repeat(v_starts, e_counts).astype(np.int32)
+        np.concatenate([g.edge_src for g in graphs], out=edge_src[:total_e])
+        edge_src[:total_e] += shift
+        np.concatenate([g.edge_dst for g in graphs], out=edge_dst[:total_e])
+        edge_dst[:total_e] += shift
+        np.concatenate([g.edge_class for g in graphs], out=edge_class[:total_e])
+        np.concatenate(
+            [g.edge_features for g in graphs], out=edge_features[:total_e]
+        )
+        edge_valid[:total_e] = True
 
     return GraphBatch(
         atom_class, atom_features, atom_graph, atom_valid,
         edge_src, edge_dst, edge_class, edge_features, edge_valid,
         num_graphs=ng,
-        num_atoms=np.array([g.num_atoms for g in graphs], dtype=np.int32),
+        num_atoms=v_counts.astype(np.int32),
     )

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseProxy, Cache
-from .data import batch_graphs, half_octave, smi2graph
+from .data import batch_graphs, half_octave, smi2graph, smi2graph_list
 from .sbddreward import SBDDRewardNetwork, convert_sbddreward_checkpoint
 from .tacogfn import TacoAffinityHead, convert_tacogfn_checkpoint, graph_batch_to_arrays
 
@@ -72,7 +72,12 @@ class TacoGFN_Proxy(BaseProxy):
 
     def _scoring_list(self, cache: Cache, smiles_list: list[str]) -> np.ndarray:
         pocket, token = cache
-        graphs = [smi2graph(smi) for smi in smiles_list]
+        # one-pass C++ featurization (python fallback per molecule inside)
+        maybe = smi2graph_list(smiles_list)
+        graphs = [g for g in maybe if g is not None]
+        if len(graphs) != len(smiles_list):
+            bad = next(i for i, g in enumerate(maybe) if g is None)
+            raise ValueError(f"unparseable SMILES: {smiles_list[bad]!r}")
         # bucket graph count + array shapes so variable batch sizes reuse a
         # handful of compiled programs instead of one per composition
         batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
@@ -140,14 +145,11 @@ class SBDDReward_Proxy(BaseProxy):
         return (np.asarray(x), np.asarray(pos), np.asarray(z), float(mu), float(std))
 
     def _scoring_list(self, cache: Cache, smiles_list: list[str], return_sigma: bool = False) -> np.ndarray:
-        # invalid-SMILES masking returns 0.0 (sbddreward/proxy.py:54-72)
-        graphs, flags = [], []
-        for smi in smiles_list:
-            try:
-                graphs.append(smi2graph(smi))
-                flags.append(True)
-            except Exception:
-                flags.append(False)
+        # invalid-SMILES masking returns 0.0 (sbddreward/proxy.py:54-72);
+        # featurization is one C++ pass (smi2graph_list), invalid -> None
+        maybe = smi2graph_list(smiles_list)
+        graphs = [g for g in maybe if g is not None]
+        flags = [g is not None for g in maybe]
         if not any(flags):
             return np.zeros(len(smiles_list), dtype=np.float32)
         batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))

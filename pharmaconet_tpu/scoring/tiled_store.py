@@ -141,6 +141,11 @@ def write_tiled_store(
     d1_max, d2_max = 1, 2
     batch_shapes: list[int] = []  # width each batch was written with
     rows_hint = 600.0
+    # reuse output buffers across batches: numpy returns >128 KB blocks to
+    # the OS on free, so fresh ~200 MB allocations re-page-fault every
+    # batch (~2x the pack cost — same fix as the screeners' _pack_buffers).
+    # np.save copies to disk before the next pack reuses the buffers.
+    buffers: dict = {}
 
     def pack_batch(bi: int, pin_width: int | None):
         nonlocal rows_hint
@@ -153,14 +158,14 @@ def write_tiled_store(
             tb = build_tiled_batch(
                 model, live_packed, threads=threads,
                 rows_hint=int(rows_hint * len(live_packed)),
-                width=pin_width, cmax=cmax,
+                width=pin_width, cmax=cmax, buffer_cache=buffers,
             )
         except ValueError:
             # pinned width too small for this batch: take its natural width
             tb = build_tiled_batch(
                 model, live_packed, threads=threads,
                 rows_hint=int(rows_hint * len(live_packed)),
-                width=None, cmax=cmax,
+                width=None, cmax=cmax, buffer_cache=buffers,
             )
         if tb is None:
             raise RuntimeError(

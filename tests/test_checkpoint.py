@@ -78,3 +78,45 @@ def test_convert_weights_cli(torch_checkpoint, tmp_path):
     assert set(dists_tar) == set(dists_npz)
     for t in dists_tar:
         np.testing.assert_array_equal(dists_tar[t], dists_npz[t])
+
+
+def test_verify_checkpoint_cli(torch_checkpoint, tmp_path):
+    """The one-command real-weight harness runs end-to-end on a synthesized
+    tar: load/convert coverage + full activation parity vs the reference
+    torch network built from the same weights (modeling stages are covered
+    by tests/test_modeling_reference_parity.py and skipped here for time)."""
+    import json
+
+    from pharmaconet_tpu.cli.verify_checkpoint import build_parser, main
+
+    path, _ = torch_checkpoint
+    out = tmp_path / "report.json"
+    rc = main(build_parser().parse_args([
+        "--checkpoint", str(path), "--skip_modeling", "--out", str(out),
+    ]))
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["ok"]
+    names = [s["stage"] for s in report["stages"]]
+    assert "load_convert" in names and "activation_parity" in names
+    for s in report["stages"]:
+        assert s["ok"], s
+
+
+def test_verify_checkpoint_cli_detects_schema_drift(torch_checkpoint, tmp_path):
+    """A checkpoint missing a learned tensor (schema drift vs the published
+    architecture) must fail the coverage stage cleanly, not crash."""
+    torch = pytest.importorskip("torch")
+
+    from pharmaconet_tpu.cli.verify_checkpoint import build_parser, main
+
+    path, _ = torch_checkpoint
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    del checkpoint["model"]["token_head.feature_mlp.0.weight"]
+    checkpoint["model"]["bogus.extra.weight"] = torch.zeros(3)
+    bad_path = tmp_path / "bad.tar"
+    torch.save(checkpoint, bad_path)
+    rc = main(build_parser().parse_args([
+        "--checkpoint", str(bad_path), "--skip_modeling",
+    ]))
+    assert rc == 1

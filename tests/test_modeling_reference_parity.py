@@ -40,59 +40,18 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from test_scoring_reference_parity import (  # noqa: E402
-    _duck_reference_ligand,
-    _install_openbabel_stub,
+from test_scoring_reference_parity import _duck_reference_ligand  # noqa: E402
+
+from pharmaconet_tpu.utils.crosscheck import (  # noqa: E402
+    compare_graphs,
+    compare_hotspot_infos,
+    import_reference_module,
+    make_reference_pharmaconet,
+    reference_protein_data,
 )
 
 REF_SRC = "/root/reference/src"
 DIM = 64
-
-
-# --------------------------------------------------------------------------
-# Import the reference module graph with its native deps stubbed
-# --------------------------------------------------------------------------
-def _install_reference_stubs():
-    _install_openbabel_stub()
-    if "omegaconf" not in sys.modules:
-        m = types.ModuleType("omegaconf")
-        m.OmegaConf = object
-        sys.modules["omegaconf"] = m
-    if "molvoxel" not in sys.modules:
-        m = types.ModuleType("molvoxel")
-        m.Voxelizer = object
-        m.create_voxelizer = lambda *a, **k: None
-        sys.modules["molvoxel"] = m
-    if "Bio" not in sys.modules:
-        bio = types.ModuleType("Bio")
-        pdb = types.ModuleType("Bio.PDB")
-        pdbio = types.ModuleType("Bio.PDB.PDBIO")
-
-        class _Select:  # subclassed at import time by extract_pocket.py
-            pass
-
-        pdbio.Select = _Select
-        pdb.PDBIO = object
-        pdb.PDBParser = object
-        pdb.PDBIO_module = pdbio
-        bio.PDB = pdb
-        sys.modules["Bio"] = bio
-        sys.modules["Bio.PDB"] = pdb
-        sys.modules["Bio.PDB.PDBIO"] = pdbio
-    # NOTE: no gdown stub — the reference imports it lazily, and a fake
-    # module would leak into our own optional weight-download path
-
-
-def _import_reference_module():
-    _install_reference_stubs()
-    if "pmnet" not in sys.modules:
-        pkg = types.ModuleType("pmnet")
-        pkg.__path__ = [f"{REF_SRC}/pmnet"]
-        sys.modules["pmnet"] = pkg
-    import pmnet.module as ref_module  # noqa: PLC0415
-    import pmnet.pharmacophore_model as ref_pm_mod  # noqa: PLC0415
-
-    return ref_module, ref_pm_mod
 
 
 # --------------------------------------------------------------------------
@@ -213,27 +172,9 @@ def distributions():
 
 
 def _make_ref_pm(ref_module, distributions, score_threshold):
-    """Reference PharmacoNet without its __init__ (which needs model.tar):
-    the exact attributes create_density_maps reads, reference
-    module.py:82-110 semantics."""
-    from pmnet.utils.smoothing import GaussianSmoothing  # noqa: PLC0415
-
-    ref = ref_module.PharmacoNet.__new__(ref_module.PharmacoNet)
-    ref.model = _RefFakeNet()
-    ref.smoothing = GaussianSmoothing(kernel_size=5, sigma=0.5)
-    ref.score_distributions = {t: np.asarray(d) for t, d in distributions.items()}
-    ref.focus_threshold = 0.5
-    ref.box_threshold = 0.5
-    if score_threshold is None:
-        ref.score_threshold = dict(ref_module.DEFAULT_SCORE_THRESHOLD)
-    elif isinstance(score_threshold, dict):
-        ref.score_threshold = score_threshold
-    else:
-        ref.score_threshold = {
-            t: float(score_threshold) for t in ref.score_distributions
-        }
-    ref.logger = None
-    return ref
+    return make_reference_pharmaconet(
+        ref_module, _RefFakeNet(), distributions, score_threshold
+    )
 
 
 def _make_our_pm(distributions, score_threshold, fake=True):
@@ -249,139 +190,40 @@ def _make_our_pm(distributions, score_threshold, fake=True):
     return pm
 
 
-def _ref_protein_data(pocket, torch_mod):
-    """The reference-side input tuple (image, mask, token_pos, tokens):
-    same voxel mask as the one our fused program computes, same tokens."""
-    import jax.numpy as jnp
+def _split_single_component_infos(infos):
+    """Split each hotspot info's point map into its 26-connected components
+    in OUR canonical order (smallest flat voxel index first). Feeding these
+    to the reference's own PharmacophoreModel.create produces the same node
+    SET as the full maps but with a deterministic node ORDER — which is
+    what lets the reference's greedy, seed-order-dependent cluster grouping
+    (density_map.py:131-178) be compared exactly: on the full maps its
+    intra-map component order comes from Python set iteration."""
+    from pharmaconet_tpu.pharmacophore.density_map import extract_components
 
-    from pharmaconet_tpu.ops.voxelize import voxelize
-
-    image, occupancy = voxelize(
-        jnp.asarray(pocket.atom_positions), jnp.asarray(pocket.atom_features),
-        jnp.asarray(pocket.atom_valid), jnp.asarray(pocket.center),
-    )
-    ntok = int(pocket.token_valid.sum())
-    image_t = torch_mod.from_numpy(
-        np.ascontiguousarray(np.transpose(np.asarray(image), (3, 0, 1, 2)))
-    )
-    mask_t = torch_mod.from_numpy(~np.asarray(occupancy))[None]
-    token_pos = torch_mod.from_numpy(
-        np.asarray(pocket.token_positions, dtype=np.float32)
-    )
-    tokens = torch_mod.from_numpy(pocket.tokens[:ntok].astype(np.int64))
-    return (image_t, mask_t, token_pos, tokens)
-
-
-def _compare_hotspot_infos(ours, theirs, map_atol=1e-4):
-    assert len(ours) == len(theirs), (
-        f"hotspot count: ours {len(ours)} vs reference {len(theirs)}"
-    )
-    for i, (a, b) in enumerate(zip(ours, theirs)):
-        assert a["nci_type"] == b["nci_type"], f"hotspot {i} nci_type"
-        assert a["hotspot_type"] == b["hotspot_type"]
-        assert a["point_type"] == b["point_type"]
-        pos_ref = np.asarray(
-            b["hotspot_position"].cpu().numpy()
-            if hasattr(b["hotspot_position"], "cpu")
-            else b["hotspot_position"],
-            dtype=np.float64,
-        )
-        np.testing.assert_allclose(
-            np.asarray(a["hotspot_position"], dtype=np.float64), pos_ref,
-            atol=1e-4, err_msg=f"hotspot {i} position",
-        )
-        assert abs(a["hotspot_score"] - float(b["hotspot_score"])) <= 1e-6, (
-            f"hotspot {i} rel score"
-        )
-        map_ref = np.asarray(
-            b["point_map"].cpu().numpy()
-            if hasattr(b["point_map"], "cpu") else b["point_map"]
-        )
-        diff = np.abs(np.asarray(a["point_map"]) - map_ref)
-        assert diff.max() <= map_atol, (
-            f"hotspot {i} point_map: max diff {diff.max():.3e}, "
-            f"{int((diff > map_atol).sum())} voxels over"
-        )
-
-
-# Graph comparison up to the documented canonical component ordering: sort
-# both sides by UNROUNDED geometry (cross-side jitter is ~1e-5 from f32
-# summation order, far below any inter-node spacing, so the sort pairs
-# corresponding elements), then compare paired numerics with tolerance.
-_GEOM_ATOL = 1e-3
-
-
-def _node_sort_key(n):
-    return (n.type, float(n.center[0]), float(n.center[1]), float(n.center[2]))
-
-
-def _assert_nodes_equal(ours, theirs):
-    a_list = sorted(ours.nodes, key=_node_sort_key)
-    b_list = sorted(theirs.nodes, key=_node_sort_key)
-    assert len(a_list) == len(b_list)
-    for a, b in zip(a_list, b_list):
-        assert a.type == b.type and a.interaction_type == b.interaction_type
-        np.testing.assert_allclose(
-            np.asarray(a.center, float), np.asarray(b.center, float),
-            atol=_GEOM_ATOL,
-        )
-        assert abs(float(a.radius) - float(b.radius)) <= _GEOM_ATOL
-        assert abs(float(a.score) - float(b.score)) <= 1e-5
-        np.testing.assert_allclose(
-            np.asarray(a.hotspot_position, float),
-            np.asarray(b.hotspot_position, float), atol=1e-4,
-        )
-
-
-def _edge_records(model):
-    recs = []
-    for e in model.edges:
-        i1, i2 = e.node_indices
-        k1, k2 = _node_sort_key(model.nodes[i1]), _node_sort_key(model.nodes[i2])
-        lo, hi = (k1, k2) if k1 <= k2 else (k2, k1)
-        recs.append((lo, hi, float(e.distance_mean), float(e.distance_std)))
-    return sorted(recs)
-
-
-def _assert_edges_equal(ours, theirs):
-    a_list, b_list = _edge_records(ours), _edge_records(theirs)
-    assert len(a_list) == len(b_list)
-    for a, b in zip(a_list, b_list):
-        for ka, kb in ((a[0], b[0]), (a[1], b[1])):
-            assert ka[0] == kb[0]  # node type
-            np.testing.assert_allclose(ka[1:], kb[1:], atol=_GEOM_ATOL)
-        assert abs(a[2] - b[2]) <= _GEOM_ATOL  # distance mean
-        assert abs(a[3] - b[3]) <= _GEOM_ATOL  # distance std
-
-
-def _cluster_records(model):
-    return sorted(
-        (
-            c.type,
-            tuple(sorted(_node_sort_key(model.nodes[i]) for i in c.node_indices)),
-            tuple(float(v) for v in c.center),
-            float(c.size),
-        )
-        for c in model.node_clusters
-    )
-
-
-def _assert_clusters_equal(ours, theirs):
-    a_list, b_list = _cluster_records(ours), _cluster_records(theirs)
-    assert len(a_list) == len(b_list)
-    for a, b in zip(a_list, b_list):
-        assert a[0] == b[0] and len(a[1]) == len(b[1])
-        for ka, kb in zip(a[1], b[1]):
-            assert ka[0] == kb[0]
-            np.testing.assert_allclose(ka[1:], kb[1:], atol=_GEOM_ATOL)
-        np.testing.assert_allclose(a[2], b[2], atol=_GEOM_ATOL)
-        assert abs(a[3] - b[3]) <= _GEOM_ATOL
+    out = []
+    for info in infos:
+        dmap = np.asarray(info["point_map"])
+        for coords, _scores in extract_components(dmap):
+            mask = np.zeros_like(dmap)
+            mask[coords[:, 0], coords[:, 1], coords[:, 2]] = dmap[
+                coords[:, 0], coords[:, 1], coords[:, 2]
+            ]
+            out.append(
+                {
+                    **info,
+                    "point_map": mask,
+                    "hotspot_position": np.asarray(
+                        info["hotspot_position"], dtype=np.float32
+                    ),
+                }
+            )
+    return out
 
 
 def _run_both(pocket, distributions, score_threshold):
-    ref_module, ref_pm_mod = _import_reference_module()
+    ref_module, ref_pm_mod = import_reference_module()
     ref = _make_ref_pm(ref_module, distributions, score_threshold)
-    ref_infos = ref.create_density_maps(_ref_protein_data(pocket, torch))
+    ref_infos = ref.create_density_maps(reference_protein_data(pocket))
 
     ours = _make_our_pm(distributions, score_threshold)
     our_infos = ours.create_density_maps(pocket)
@@ -396,13 +238,13 @@ def fake_nn_default(pocket, distributions):
 def test_fake_nn_hotspot_parity_default_gates(fake_nn_default):
     our_infos, ref_infos, _ = fake_nn_default
     assert len(ref_infos) >= 40, "gates too tight — middle not exercised"
-    _compare_hotspot_infos(our_infos, ref_infos)
+    compare_hotspot_infos(our_infos, ref_infos)
 
 
 def test_fake_nn_hotspot_parity_open_gates(pocket, distributions):
     our_infos, ref_infos, _ = _run_both(pocket, distributions, 0.0)
     assert len(ref_infos) >= 100, "open gates should keep every cavity token"
-    _compare_hotspot_infos(our_infos, ref_infos)
+    compare_hotspot_infos(our_infos, ref_infos)
 
 
 def test_fake_nn_graph_and_pm_parity(pocket, fake_nn_default, tmp_path):
@@ -422,12 +264,27 @@ def test_fake_nn_graph_and_pm_parity(pocket, fake_nn_default, tmp_path):
         pocket.pdbblock, pocket.center, our_infos, size=DIM
     )
 
-    _assert_nodes_equal(our_model, ref_model)
-    _assert_edges_equal(our_model, ref_model)
-    _assert_clusters_equal(our_model, ref_model)
+    # 1) node/edge parity on the FULL maps (order-free invariants). The
+    # cluster PARTITION is greedy-seed-order-dependent in the reference
+    # (density_map.py:131-178 iterates nodes whose intra-map component
+    # order comes from Python set iteration), so it is excluded here and
+    # pinned exactly in step 2 instead.
+    rep = compare_graphs(our_model, ref_model, raise_on_fail=False)
+    node_edge_issues = [
+        m for m in rep["mismatches"] if not m.startswith("cluster")
+    ]
+    assert not node_edge_issues, node_edge_issues[:10]
+
+    # 2) the reference's OWN clustering run on our canonical node order:
+    # single-component infos make add_node deterministic, so the full
+    # graph INCLUDING the cluster partition must match exactly.
+    ref_ordered = ref_pm_mod.PharmacophoreModel.create(
+        pocket.pdbblock, center, _split_single_component_infos(our_infos)
+    )
+    compare_graphs(our_model, ref_ordered)
 
     # .pm contract + scoring: our save → reference load; reference matcher
-    # scores both graphs identically; our matcher agrees
+    # scores the order-matched graphs identically; our matcher agrees
     import pmnet.scoring.graph_match as ref_gm  # noqa: PLC0415
     import pmnet.scoring.ligand as ref_lig_mod  # noqa: PLC0415
 
@@ -443,18 +300,75 @@ def test_fake_nn_graph_and_pm_parity(pocket, fake_nn_default, tmp_path):
 
     rng = np.random.default_rng(3)
     checked = 0
+    full_order_deltas = []
     for i in range(12):
         elements, coords, bonds = _random_molecule(rng)
         # place the ligand near the pocket center so scores are nonzero
+        coords = np.asarray(coords, dtype=np.float64)
         coords = coords - coords.mean(axis=0) + np.asarray(center)
         path = tmp_path / f"lig{i}.sdf"
         path.write_text(_to_sdf(f"lig{i}", elements, coords, bonds))
         lig = Ligand.load_from_file(path)
         duck = _duck_reference_ligand(lig, ref_lig_mod)
-        s_ref_graph = ref_gm.GraphMatcher(ref_model, duck).run()
+        s_ref_ordered = ref_gm.GraphMatcher(ref_ordered, duck).run()
         s_our_graph_ref_code = ref_gm.GraphMatcher(our_model_via_ref, duck).run()
         s_ours = GraphMatcher(our_model, lig).run()
-        assert abs(s_ref_graph - s_our_graph_ref_code) <= 1e-4 + 2e-5 * abs(s_ref_graph)
-        assert abs(s_ref_graph - s_ours) <= 1e-4 + 2e-5 * abs(s_ref_graph)
-        checked += s_ref_graph > 0
+        assert abs(s_ref_ordered - s_our_graph_ref_code) <= 1e-4 + 2e-5 * abs(s_ref_ordered)
+        assert abs(s_ref_ordered - s_ours) <= 1e-4 + 2e-5 * abs(s_ref_ordered)
+        # the reference's own full-map model (its internal component order):
+        # measure the score impact of the order-dependent cluster partition
+        s_ref_full = ref_gm.GraphMatcher(ref_model, duck).run()
+        full_order_deltas.append(abs(s_ref_full - s_ours))
+        checked += s_ref_ordered > 0
     assert checked >= 4, "ligand set never hit the model"
+    # order-dependence is a reference-internal property; its score impact
+    # should stay small relative to score magnitude (documented, measured)
+    assert max(full_order_deltas) < 5.0, full_order_deltas
+
+
+@pytest.mark.slow
+def test_real_nn_modeling_parity(pocket, distributions, tmp_path):
+    """Full real-NN composition on 6OIM: one synthesized checkpoint drives
+    BOTH the reference torch pipeline (its own create_density_maps +
+    network, loaded via crosscheck.load_reference_network) and our fused
+    modeling programs end-to-end; hotspot infos, graphs, and .pm scores
+    must agree. weight_scale=0.8/seed=23 was scanned (round-3 probes) so
+    the default gates keep ~27 hotspots with BOTH cavity branches
+    populated — small enough for CPU, large enough to be meaningful."""
+    import jax
+    import jax.numpy as jnp
+
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.network.convert import (
+        convert_torch_state_dict,
+        synthesize_torch_state_dict,
+    )
+    from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+    from pharmaconet_tpu.utils.crosscheck import load_reference_network
+
+    state = synthesize_torch_state_dict(seed=23, weight_scale=0.8)
+    ref_module, ref_pm_mod = import_reference_module()
+    ref = make_reference_pharmaconet(
+        ref_module, load_reference_network(state), distributions, None
+    )
+    ref_infos = ref.create_density_maps(reference_protein_data(pocket))
+
+    pm = PharmacoNet(
+        weight_path=None, verbose=False,
+        max_hotspots=32, segmentation_chunk=16,
+    )
+    pm.params = jax.tree.map(jnp.asarray, convert_torch_state_dict(state))
+    pm._setup_distributions(distributions)
+    our_infos = pm.create_density_maps(pocket)
+
+    assert len(ref_infos) >= 10, "scanned seed should keep >=10 hotspots"
+    compare_hotspot_infos(our_infos, ref_infos, map_atol=1e-4)
+
+    center = tuple(float(v) for v in pocket.center)
+    our_model = PharmacophoreModel.create(
+        pocket.pdbblock, pocket.center, our_infos, size=DIM
+    )
+    ref_ordered = ref_pm_mod.PharmacophoreModel.create(
+        pocket.pdbblock, center, _split_single_component_infos(our_infos)
+    )
+    compare_graphs(our_model, ref_ordered)
