@@ -471,3 +471,43 @@ def test_perception_sdf_mol2_agreement(name):
     counts_mol2 = {k: len(v) for k, v in get_pharmacophore_nodes(via_mol2).items()}
     assert counts_sdf == expected, f"{name} via SDF: {counts_sdf}"
     assert counts_mol2 == expected, f"{name} via MOL2: {counts_mol2}"
+
+
+def test_6oim_full_pocket_token_golden():
+    """Protein-side golden: EVERY token of the bundled 6OIM pocket pinned
+    (VERDICT round-2 next #5 — reference token_inference.py:10-79
+    semantics). Counts per interaction type, an exact content hash of the
+    full [666, 4] token array, and spot rows; any drift in pocket
+    extraction, residue templates, ring/charge perception, or the grid
+    transform changes this fingerprint."""
+    import hashlib
+
+    import numpy as np
+
+    from pharmaconet_tpu.module import PharmacoNet
+
+    pm = PharmacoNet(weight_path=None, verbose=False, _random_init_seed=0)
+    data = pm.parse(
+        "/root/reference/examples/6OIM_protein.pdb",
+        ref_ligand_path="/root/reference/examples/6OIM_D_MOV.pdb",
+    )
+    assert [round(float(v), 4) for v in data.center] == [1.872, -8.2596, -1.3613]
+    assert int(data.atom_valid.sum()) == 1328
+    n = int(data.token_valid.sum())
+    assert n == 666
+    tokens = data.tokens[:n]
+    per_type = {
+        t: int((tokens[:, 3] == t).sum()) for t in sorted(set(tokens[:, 3]))
+    }
+    assert per_type == {0: 204, 1: 9, 2: 9, 3: 11, 4: 9, 5: 130, 6: 128,
+                       7: 11, 8: 9, 9: 146}
+    sha = hashlib.sha256(
+        np.ascontiguousarray(tokens.astype(np.int32)).tobytes()
+    ).hexdigest()[:16]
+    assert sha == "7defc8586faa8126", f"token array drifted: {sha}"
+    assert tokens[:2].tolist() == [[61, 62, 43, 0], [60, 56, 33, 0]]
+    assert tokens[-1].tolist() == [63, 43, 62, 9]
+    np.testing.assert_allclose(
+        np.asarray(data.token_positions, np.float64).sum(axis=0),
+        [3636.5233, -2650.6579, 1903.2112], atol=1e-2,
+    )

