@@ -137,21 +137,54 @@ def main(args) -> int:
                     vals.append(s)
             record(keys, vals)
 
-        pending = None
-        for bi in range(store.n_batches):
-            base = bi * store.batch_size
-            size = min(store.batch_size, store.n_ligands - base)
-            if all(base + j in done for j in range(size)):
-                continue
-            sb = store.load(bi)
-            rows = None
-            if sb.gtab is not None:
-                rows = base_screener.dispatch_tb(sb)
+        todo_batches = [
+            bi for bi in range(store.n_batches)
+            if not all(
+                bi * store.batch_size + j in done
+                for j in range(min(store.batch_size,
+                                   store.n_ligands - bi * store.batch_size))
+            )
+        ]
+        n_dev = len(jax.devices())
+        if isinstance(screener, ShardedScreener) and n_dev > 1:
+            # mesh path: one stored batch per device per program (the
+            # store's single shape makes stacking free); leftovers and
+            # empty batches run singly
+            group: list = []
+            for bi in todo_batches:
+                sb = store.load(bi)
+                if sb.gtab is None:
+                    emit(sb, None, bi * store.batch_size)
+                    continue
+                group.append((bi, sb))
+                if len(group) == n_dev:
+                    scores_lists = screener.score_stored_group(
+                        [s for _, s in group]
+                    )
+                    for (gbi, gsb), scores in zip(group, scores_lists):
+                        keys, vals = [], []
+                        for j, s in enumerate(scores):
+                            gi = gbi * store.batch_size + j
+                            if gi not in done:
+                                keys.append((gi, names[gi]))
+                                vals.append(s)
+                        record(keys, vals)
+                    group = []
+            for gbi, gsb in group:  # tail: single-device dispatch
+                emit(gsb, base_screener.dispatch_tb(gsb), gbi * store.batch_size)
+        else:
+            pending = None
+            for bi in todo_batches:
+                base = bi * store.batch_size
+                sb = store.load(bi)
+                rows = None
+                if sb.gtab is not None:
+                    rows = base_screener.dispatch_tb(sb)
+                if pending is not None:
+                    emit(*pending)
+                pending = (sb, rows, base)
             if pending is not None:
                 emit(*pending)
-            pending = (sb, rows, base)
-        if pending is not None:
-            emit(*pending)
         partial.close()
         partial_path.unlink()  # complete: the sorted CSV is the record
     elif args.library:

@@ -211,6 +211,26 @@ class ShardedScreener(BatchScreener):
             prog = self._fused_programs[key] = sharded_score
         return prog
 
+    def score_stored_group(self, sbs: list) -> list[list[float]]:
+        """Score one StoredBatch per mesh device in a single shard_map
+        program (scoring/tiled_store.py guarantees every batch in a store
+        shares one device shape, so stacking is free of repacking). Returns
+        per-batch score lists; the host tails run per shard."""
+        n_dev = self.mesh.devices.size
+        assert len(sbs) == n_dev, (len(sbs), n_dev)
+        assert all(sb.gtab is not None for sb in sbs)
+        d1 = max(sb.depth1 for sb in sbs)
+        d2 = max(sb.depth2 for sb in sbs)
+        stacked = [
+            jnp.asarray(np.stack([np.asarray(getattr(sb, f)) for sb in sbs]))
+            for f in ("pos_blocks", "uv", "gtab", "aux")
+        ]
+        program = self._fused_sharded_program(d1, d2, self.pallas_interpret)
+        tables = np.asarray(program(*stacked))  # [n_dev, NST, C]
+        return [
+            self.postprocess_stored(sb, tables[k]) for k, sb in enumerate(sbs)
+        ]
+
     def _score_shards_tiled_native(
         self, shards: list[list[PackedLigand]], cmax: int
     ) -> list[float] | None:

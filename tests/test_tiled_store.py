@@ -162,3 +162,26 @@ def test_cli_tiles_resume(corpus, tmp_path):
     assert float(rows[names[0]]) == 321.5
     assert float(rows[names[3]]) == 322.5
     assert not (tmp_path / "res.csv.partial").exists()
+
+
+def test_stored_group_mesh_equality(corpus, tmp_path):
+    """score_stored_group (one stored batch per mesh device, single
+    shard_map program) equals per-batch single-device scoring."""
+    from pharmaconet_tpu.parallel.screening import ShardedScreener
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_tiled_store
+
+    model, packed, names, _ = corpus
+    screener = ShardedScreener(model, engine="pallas", pallas_interpret=True)
+    n_dev = screener.mesh.devices.size
+    assert n_dev == 8
+    write_tiled_store(
+        tmp_path / "store", screener.packed_model, packed, names,
+        batch_size=8, verbose=False,
+    )
+    store = TiledStore(tmp_path / "store", screener.packed_model)
+    sbs = [store.load(i) for i in range(n_dev)]
+    assert all(sb.gtab is not None for sb in sbs)
+    grouped = screener.score_stored_group(sbs)
+    for k, sb in enumerate(sbs):
+        single = screener.score_stored(store.load(k))
+        np.testing.assert_allclose(grouped[k], single, rtol=2e-5, atol=1e-4)
