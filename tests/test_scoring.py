@@ -110,3 +110,19 @@ def test_model_pm_roundtrip(tmp_path):
         s1 = model.scoring_mol(mol)
         s2 = loaded.scoring_mol(mol)
         assert s1 == pytest.approx(s2, rel=1e-6)
+
+
+def test_scoring_smiles_gate_without_rdkit():
+    """scoring_smiles is RDKit-gated exactly like the reference
+    (ligand.py:86-107): in an RDKit-less environment the error is
+    immediate and actionable, not a deep stack failure."""
+    import importlib.util
+
+    import pytest
+
+    from pharmaconet_tpu.scoring.ligand import Ligand
+
+    if importlib.util.find_spec("rdkit") is not None:  # pragma: no cover
+        pytest.skip("rdkit present: the real path runs elsewhere")
+    with pytest.raises(ImportError, match="requires RDKit"):
+        Ligand.load_from_smiles("c1ccccc1", num_conformers=4)
