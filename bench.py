@@ -396,8 +396,34 @@ def main():
 
     from pharmaconet_tpu.scoring.batch_screen import score_blocks_device
 
-    engine = os.environ.get("BENCH_ENGINE", "pallas")
-    if engine.startswith("pallas"):
+    engine = os.environ.get("BENCH_ENGINE", "pallas-dt")
+    if engine == "pallas-dt":
+        # production tile-store device path (screening.py --library_tiles):
+        # conformer distances precomputed at prepack time, kernel skips the
+        # in-kernel one-hot build (~1.28x the one-hot kernel; PERF_NOTES
+        # round-3 "dt kernel"). Falls back to the one-hot kernel when the
+        # native packer is unavailable.
+        from pharmaconet_tpu.scoring.screen_tiles import tile_distances
+        from pharmaconet_tpu.scoring.tiled_pack import build_tiled_batch
+
+        tb = build_tiled_batch(screener.packed_model, ligands, threads=1)
+        if tb is None:
+            engine = "pallas"
+        else:
+            from pharmaconet_tpu.ops.screen_pallas import score_tiles_fused_dt
+
+            d1, d2 = tb.depth1, tb.depth2
+            args = (
+                jnp.asarray(tile_distances(tb.pos_blocks, tb.uv)),
+                jnp.asarray(tb.gtab), jnp.asarray(tb.aux),
+            )
+
+            def run_one(a):
+                return score_tiles_fused_dt(*a, depth1=d1, depth2=d2)
+
+    if engine == "pallas-dt":
+        pass  # run_one/args were set above
+    elif engine.startswith("pallas"):
         from pharmaconet_tpu.ops.screen_pallas import (
             score_blocks_pallas,
             score_blocks_pallas_fused,

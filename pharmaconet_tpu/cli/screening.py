@@ -171,7 +171,8 @@ def main(args) -> int:
                         record(keys, vals)
                     group = []
             for gbi, gsb in group:  # tail: single-device dispatch
-                emit(gsb, base_screener.dispatch_tb(gsb), gbi * store.batch_size)
+                emit(gsb, base_screener.dispatch_stored(gsb),
+                     gbi * store.batch_size)
         else:
             pending = None
             for bi in todo_batches:
@@ -179,7 +180,7 @@ def main(args) -> int:
                 sb = store.load(bi)
                 rows = None
                 if sb.gtab is not None:
-                    rows = base_screener.dispatch_tb(sb)
+                    rows = base_screener.dispatch_stored(sb)
                 if pending is not None:
                     emit(*pending)
                 pending = (sb, rows, base)

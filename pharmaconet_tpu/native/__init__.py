@@ -165,6 +165,26 @@ def get_smi2graph():
     return lib.smi2graph_batch
 
 
+def get_tile_dt():
+    """Returns the ctypes tile_dt symbol (prepack-time conformer
+    distances for tile-store v2), or None if unavailable. Compiled with
+    -ffp-contract=off: bit-identical to the numpy fallback."""
+    lib = _load("dt_tiles", "dt_tiles.cpp", "libdttiles.so",
+                extra_flags=("-ffp-contract=off",))
+    if lib is None:
+        return None
+    if not hasattr(lib.tile_dt, "_configured"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.tile_dt.restype = None
+        lib.tile_dt.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f32p, i32p, f32p,
+        ]
+        lib.tile_dt._configured = True
+    return lib.tile_dt
+
+
 def get_pack_tiled():
     """Returns the ctypes pack_tiled symbol (fused tiled packer), or None."""
     lib = _load("pack_tiled", "pack_tiled.cpp", "libpacktiled.so",

@@ -179,34 +179,59 @@ class ShardedScreener(BatchScreener):
             out[i] = s
         return out
 
-    def _fused_sharded_program(self, d1: int, d2: int, interpret: bool):
+    def _fused_sharded_program(self, d1: int, d2: int, interpret: bool,
+                               use_dt: bool = False):
         """Per-instance cache of the jitted fused shard_map program, keyed on
         the static scan depths; jax.jit's own cache then handles the
         width/depth shape bucketing without a Python-level re-trace per
-        batch (the bucketing exists precisely so shapes repeat)."""
-        from ..ops.screen_pallas import score_tiles_fused_rows
+        batch (the bucketing exists precisely so shapes repeat). use_dt
+        selects the tile-store-v2 variant consuming prepack-time conformer
+        distances instead of rebuilding them in-kernel."""
+        from ..ops.screen_pallas import (
+            score_tiles_fused_dt_rows,
+            score_tiles_fused_rows,
+        )
 
         if not hasattr(self, "_fused_programs"):
             self._fused_programs = {}
-        key = (d1, d2, interpret)
+        key = (d1, d2, interpret, use_dt)
         prog = self._fused_programs.get(key)
         if prog is None:
+            if use_dt:
 
-            @jax.jit
-            def sharded_score(pos, uv, gtab, aux):
-                def per_shard(pos, uv, gtab, aux):
-                    return score_tiles_fused_rows(
-                        pos[0], uv[0], gtab[0], aux[0],
-                        depth1=d1, depth2=d2, interpret=interpret,
-                    )[None]
+                @jax.jit
+                def sharded_score(dt, gtab, aux):
+                    def per_shard(dt, gtab, aux):
+                        return score_tiles_fused_dt_rows(
+                            dt[0], gtab[0], aux[0],
+                            depth1=d1, depth2=d2, interpret=interpret,
+                        )[None]
 
-                return jax.shard_map(
-                    per_shard,
-                    mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 4,
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )(pos, uv, gtab, aux)
+                    return jax.shard_map(
+                        per_shard,
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * 3,
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )(dt, gtab, aux)
+
+            else:
+
+                @jax.jit
+                def sharded_score(pos, uv, gtab, aux):
+                    def per_shard(pos, uv, gtab, aux):
+                        return score_tiles_fused_rows(
+                            pos[0], uv[0], gtab[0], aux[0],
+                            depth1=d1, depth2=d2, interpret=interpret,
+                        )[None]
+
+                    return jax.shard_map(
+                        per_shard,
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * 4,
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )(pos, uv, gtab, aux)
 
             prog = self._fused_programs[key] = sharded_score
         return prog
@@ -221,11 +246,15 @@ class ShardedScreener(BatchScreener):
         assert all(sb.gtab is not None for sb in sbs)
         d1 = max(sb.depth1 for sb in sbs)
         d2 = max(sb.depth2 for sb in sbs)
+        use_dt = all(getattr(sb, "dt", None) is not None for sb in sbs)
+        fields = ("dt", "gtab", "aux") if use_dt else (
+            "pos_blocks", "uv", "gtab", "aux")
         stacked = [
             jnp.asarray(np.stack([np.asarray(getattr(sb, f)) for sb in sbs]))
-            for f in ("pos_blocks", "uv", "gtab", "aux")
+            for f in fields
         ]
-        program = self._fused_sharded_program(d1, d2, self.pallas_interpret)
+        program = self._fused_sharded_program(
+            d1, d2, self.pallas_interpret, use_dt=use_dt)
         tables = np.asarray(program(*stacked))  # [n_dev, NST, C]
         return [
             self.postprocess_stored(sb, tables[k]) for k, sb in enumerate(sbs)

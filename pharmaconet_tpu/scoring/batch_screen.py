@@ -996,6 +996,22 @@ class BatchScreener:
         """Device + host tail for one packed tiled batch."""
         return self.postprocess_tb(tb, self.dispatch_tb(tb))
 
+    def dispatch_stored(self, sb) -> jax.Array:
+        """Launch the fused kernel on a tile-store batch (async). v2 stores
+        carry prepack-time conformer distances, letting the dt kernel skip
+        the in-kernel one-hot build + MXU select (~0.7 ms/batch of VPU
+        work, PERF_NOTES round-2 ablation); v1 stores fall back to the
+        pos/uv one-hot path."""
+        if getattr(sb, "dt", None) is None:
+            return self.dispatch_tb(sb)
+        from ..ops.screen_pallas import score_tiles_fused_dt_rows
+
+        return score_tiles_fused_dt_rows(
+            jnp.asarray(sb.dt), jnp.asarray(sb.gtab), jnp.asarray(sb.aux),
+            depth1=sb.depth1, depth2=sb.depth2,
+            interpret=self.pallas_interpret,
+        )
+
     def postprocess_stored(self, sb, expanded_rows_dev) -> list[float]:
         """Host tail for a tile-store batch: the prune mask and the DFS
         candidate arrays were precomputed at prepack time, so this is just
@@ -1016,7 +1032,7 @@ class BatchScreener:
         (scoring/tiled_store.py); cluster-less ligands score 0 in place."""
         if sb.gtab is None:
             return [0.0] * sb.batch_len
-        return self.postprocess_stored(sb, self.dispatch_tb(sb))
+        return self.postprocess_stored(sb, self.dispatch_stored(sb))
 
     def device_args_pallas(self, batch: ScreenBatch, ns_tiled: int | None = None):
         """Host prep for the Pallas engine: untiled lane-major prep

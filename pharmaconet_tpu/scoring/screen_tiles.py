@@ -58,6 +58,50 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def tile_distances(
+    pos_blocks: np.ndarray,  # [T, 3C, cap]
+    uv: np.ndarray,  # [T, tile] i32 (u_loc * cap + v_loc)
+    cap: int = NODE_CAP,
+) -> np.ndarray:
+    """Precompute the per-row conformer distances [T, C, tile] the fused
+    kernel otherwise reconstructs on device (one-hot MXU select).
+
+    Distances depend only on the ligand conformer geometry and the model's
+    pair enumeration — both fixed when a tile store is written — so the
+    store computes them ONCE at prepack time and the dt kernel variant
+    (ops/screen_pallas.score_tiles_fused_dt) streams them instead of
+    re-deriving them every screen. Ulp-equivalent to the in-kernel path
+    (NOT bit-equal: XLA fuses the three-square sum into FMAs, the host
+    cannot — measured ~1-2 ulp on dt, <=1e-4 abs on final scores, within
+    the repo-standard rtol 2e-5 / atol 1e-4 score tolerance). The C++
+    fast path (native/dt_tiles.cpp, -ffp-contract=off) and the numpy
+    fallback below are BIT-identical to each other (same exact f32 op
+    sequence), so store contents don't depend on which one packed them."""
+    t, threec, _ = pos_blocks.shape
+    c = threec // 3
+    ntile = uv.shape[1]
+
+    from ..native import get_tile_dt
+
+    fn = get_tile_dt()
+    if fn is not None:
+        out = np.empty((t, c, ntile), np.float32)
+        fn(t, c, ntile, cap,
+           np.ascontiguousarray(pos_blocks, np.float32),
+           np.ascontiguousarray(uv, np.int32), out)
+        return out
+
+    u = (uv.astype(np.int64) // cap)[:, None, :]
+    v = (uv.astype(np.int64) % cap)[:, None, :]
+    pu = np.take_along_axis(pos_blocks, u, axis=2)  # [T, 3c, tile]
+    pv = np.take_along_axis(pos_blocks, v, axis=2)
+    d = (pu - pv).reshape(t, c, 3, ntile)
+    d2 = d[:, :, 0] * d[:, :, 0]
+    d2 = d2 + d[:, :, 1] * d[:, :, 1]
+    d2 = d2 + d[:, :, 2] * d[:, :, 2]
+    return np.sqrt(d2, dtype=np.float32)
+
+
 def build_tiled_layout(
     batch,
     prep_args: tuple,

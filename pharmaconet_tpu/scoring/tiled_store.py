@@ -43,7 +43,13 @@ import numpy as np
 
 from .batch_screen import PackedLigand, PackedModel
 
-STORE_VERSION = 1
+# v2 adds batches/*/dt.npy — prepack-time conformer distances consumed by
+# the dt kernel variant (ops/screen_pallas.score_tiles_fused_dt), which
+# skips the in-kernel one-hot build (~0.7 ms/batch of VPU work) at the
+# cost of a ~16 KB/tile extra HBM stream. v1 stores stay readable (the
+# dispatcher falls back to the one-hot kernel when dt is absent).
+STORE_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 
 def model_fingerprint(model: PackedModel) -> str:
@@ -82,6 +88,10 @@ class StoredBatch:
     dfs_cand_counts: np.ndarray  # [sum active] i32
     live_index: np.ndarray  # [num] i32 — positions within the full batch
     batch_len: int  # full batch length incl. cluster-less ligands
+    # v2: prepack-time conformer distances [T, C, tile] — consumed by the
+    # dt kernel variant; None for v1 stores (dispatch falls back to the
+    # in-kernel one-hot build from pos_blocks/uv)
+    dt: np.ndarray | None = None
 
     @property
     def dfs_arrays(self):
@@ -127,7 +137,7 @@ def write_tiled_store(
     few early batches packed below the final width are repacked at the
     end, so the finished store has a single program shape."""
     from .batch_screen import host_prune_mask
-    from .screen_tiles import TILE
+    from .screen_tiles import TILE, tile_distances
     from .tiled_pack import build_tiled_batch
 
     out = Path(out_dir)
@@ -186,6 +196,7 @@ def write_tiled_store(
         np.save(bdir / "aux.npy", tb.aux)
         np.save(bdir / "uv.npy", tb.uv)
         np.save(bdir / "pos_blocks.npy", tb.pos_blocks)
+        np.save(bdir / "dt.npy", tile_distances(tb.pos_blocks, tb.uv))
         prune = host_prune_mask(tb, model)
         ps, cf, ao, cc = _dfs_arrays_from_tb(tb)
         np.savez(
@@ -241,7 +252,7 @@ class TiledStore:
     def __init__(self, path: str | Path, model: PackedModel | None = None):
         self.path = Path(path)
         self.meta = json.loads((self.path / "meta.json").read_text())
-        if self.meta["version"] != STORE_VERSION:
+        if self.meta["version"] not in _READABLE_VERSIONS:
             raise ValueError(f"tile store version {self.meta['version']} unsupported")
         if model is not None:
             got = model_fingerprint(model)
@@ -280,7 +291,9 @@ class TiledStore:
                 batch_len=int(host["batch_len"]),
             )
         mm = "r" if mmap else None
+        dt_path = bdir / "dt.npy"
         return StoredBatch(
+            dt=np.load(dt_path, mmap_mode=mm) if dt_path.exists() else None,
             gtab=np.load(bdir / "gtab.npy", mmap_mode=mm),
             aux=np.load(bdir / "aux.npy", mmap_mode=mm),
             uv=np.load(bdir / "uv.npy", mmap_mode=mm),

@@ -72,6 +72,82 @@ def test_stored_scores_equal_live_path(corpus, tmp_path):
     assert sum(1 for v in want if v > 0) >= 20, "corpus too easy"
 
 
+def test_store_v2_dt_and_v1_fallback(corpus, tmp_path):
+    """v2 stores carry prepack-time conformer distances (dt.npy) and score
+    through the dt kernel; a v1 store (no dt, version=1) still loads and
+    scores identically via the in-kernel one-hot fallback."""
+    import json
+    import shutil
+
+    from pharmaconet_tpu.scoring.tiled_store import (
+        STORE_VERSION, TiledStore, write_tiled_store,
+    )
+
+    model, packed, names, _ = corpus
+    screener = BatchScreener(model, engine="pallas", pallas_interpret=True)
+    meta = write_tiled_store(
+        tmp_path / "v2", screener.packed_model, packed[:32], names[:32],
+        batch_size=16, verbose=False,
+    )
+    assert meta["version"] == STORE_VERSION == 2
+
+    store = TiledStore(tmp_path / "v2", screener.packed_model)
+    v2_scores: list[float] = []
+    for bi in range(store.n_batches):
+        sb = store.load(bi)
+        if sb.gtab is not None:
+            assert sb.dt is not None
+            assert sb.dt.shape == (sb.gtab.shape[0], sb.pos_blocks.shape[1] // 3,
+                                   sb.gtab.shape[3])
+        v2_scores.extend(screener.score_stored(sb))
+
+    # dt matches the in-kernel derivation on the same batch (host oracle)
+    from pharmaconet_tpu.scoring.screen_tiles import tile_distances
+
+    sb0 = store.load(0)
+    np.testing.assert_array_equal(
+        np.asarray(sb0.dt),
+        tile_distances(np.asarray(sb0.pos_blocks), np.asarray(sb0.uv)),
+    )
+
+    # downgrade to v1: strip dt.npy, rewrite meta version
+    shutil.copytree(tmp_path / "v2", tmp_path / "v1")
+    for p in (tmp_path / "v1" / "batches").rglob("dt.npy"):
+        p.unlink()
+    mpath = tmp_path / "v1" / "meta.json"
+    m = json.loads(mpath.read_text())
+    m["version"] = 1
+    mpath.write_text(json.dumps(m))
+
+    v1_store = TiledStore(tmp_path / "v1", screener.packed_model)
+    v1_scores: list[float] = []
+    for bi in range(v1_store.n_batches):
+        sb = v1_store.load(bi)
+        if sb.gtab is not None:
+            assert sb.dt is None
+        v1_scores.extend(screener.score_stored(sb))
+    np.testing.assert_allclose(v1_scores, v2_scores, rtol=2e-5, atol=1e-4)
+
+
+def test_tile_dt_native_matches_numpy(corpus, monkeypatch):
+    """The C++ tile_dt (-ffp-contract=off) is BIT-identical to the numpy
+    fallback — store contents don't depend on which implementation packed
+    them."""
+    import pharmaconet_tpu.native as native
+    from pharmaconet_tpu.scoring.screen_tiles import tile_distances
+    from pharmaconet_tpu.scoring.tiled_pack import build_tiled_batch
+
+    model, packed, _, _ = corpus
+    screener = BatchScreener(model)
+    tb = build_tiled_batch(screener.packed_model, packed[:24], threads=1)
+    assert tb is not None
+    assert native.get_tile_dt() is not None, "native toolchain expected in CI"
+    got = tile_distances(tb.pos_blocks, tb.uv)
+    monkeypatch.setattr(native, "get_tile_dt", lambda: None)
+    want = tile_distances(tb.pos_blocks, tb.uv)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_store_fingerprint_rejects_other_model(corpus, tmp_path):
     from bench import make_synthetic_model
 
