@@ -284,6 +284,7 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     result (its materialization cost is included). This is the production
     per-core host number for `screening.py --library_tiles`; compare
     BENCH_MODE=host (pack-at-screen-time, ~214 ms/batch)."""
+    import os
     import tempfile
     import time as _time
 
@@ -291,7 +292,10 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_tiled_store
 
     model = make_synthetic_model()
-    screener = BatchScreener(model)
+    # BENCH_THREADS shards the host tail's C++ DFS over threads (score-
+    # identical; meaningful on multi-core TPU-VM hosts — this box has 1 vCPU)
+    screener = BatchScreener(
+        model, pack_threads=int(os.environ.get("BENCH_THREADS", "1")))
     packed = make_synthetic_ligands(batch_size)
     tmp = tempfile.mkdtemp(prefix="bench_store_")
     write_tiled_store(

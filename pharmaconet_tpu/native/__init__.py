@@ -124,7 +124,8 @@ def get_prune_pairs():
 
 def get_match_dfs():
     """Returns the ctypes match_dfs symbol, or None if unavailable."""
-    lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so")
+    lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so",
+                extra_flags=("-pthread",))
     if lib is None:
         return None
     if not hasattr(lib.match_dfs, "_configured"):
@@ -141,6 +142,31 @@ def get_match_dfs():
         ]
         lib.match_dfs._configured = True
     return lib.match_dfs
+
+
+def get_match_dfs_mt():
+    """Returns the ctypes match_dfs_mt symbol (thread-sharded assignment
+    DFS; per-ligand searches are independent, so any thread count is
+    score-identical), or None if unavailable."""
+    lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so",
+                extra_flags=("-pthread",))
+    if lib is None or not hasattr(lib, "match_dfs_mt"):
+        return None
+    if not hasattr(lib.match_dfs_mt, "_configured"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.match_dfs_mt.restype = None
+        lib.match_dfs_mt.argtypes = [
+            ctypes.c_int32,  # num_ligands
+            f32p, ctypes.c_int64,  # table, cmax
+            i64p, i32p,  # pair_starts, conformers
+            i32p, i32p,  # active_offsets, cand_counts
+            f32p,  # out_scores
+            ctypes.c_int32,  # threads
+        ]
+        lib.match_dfs_mt._configured = True
+    return lib.match_dfs_mt
 
 
 def get_smi2graph():

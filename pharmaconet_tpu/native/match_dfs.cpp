@@ -21,10 +21,11 @@
 // never clobber a state another frame still reads. This removes all
 // per-node heap allocation from the search.
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC match_dfs.cpp -o libmatchdfs.so
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread match_dfs.cpp -o libmatchdfs.so
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -152,19 +153,20 @@ int dfs(LigandCtx& ctx,
 
 }  // namespace
 
-extern "C" void match_dfs(
-    // batch
-    int32_t num_ligands,
-    const float* table,          // [np_total, cmax]
-    int64_t cmax,
-    const int64_t* pair_starts,  // [B] first table row per ligand
-    const int32_t* conformers,   // [B]
-    const int32_t* active_offsets,  // [B+1] into cand_counts
-    const int32_t* cand_counts,     // [sum active] candidates per active cluster
-    float* out_scores            // [B]
+namespace {
+
+// One worker's sequential sweep over ligands [lo, hi). Each ligand is an
+// independent search writing only out_scores[li], so threading is a pure
+// range split — scores are bit-identical at any thread count.
+void dfs_range(
+    int32_t lo, int32_t hi,
+    const float* table, int64_t cmax,
+    const int64_t* pair_starts, const int32_t* conformers,
+    const int32_t* active_offsets, const int32_t* cand_counts,
+    float* out_scores
 ) {
     LigandCtx ctx;  // buffers reused across ligands
-    for (int32_t li = 0; li < num_ligands; ++li) {
+    for (int32_t li = lo; li < hi; ++li) {
         const int32_t a_lo = active_offsets[li];
         const int32_t a_hi = active_offsets[li + 1];
         const int n_active = a_hi - a_lo;
@@ -219,4 +221,51 @@ extern "C" void match_dfs(
         for (int ci = 0; ci < c; ++ci) total += ctx.best[ci];
         out_scores[li] = total / (float)c;
     }
+}
+
+}  // namespace
+
+extern "C" void match_dfs_mt(
+    int32_t num_ligands,
+    const float* table,          // [np_total, cmax]
+    int64_t cmax,
+    const int64_t* pair_starts,  // [B] first table row per ligand
+    const int32_t* conformers,   // [B]
+    const int32_t* active_offsets,  // [B+1] into cand_counts
+    const int32_t* cand_counts,     // [sum active] candidates per active cluster
+    float* out_scores,           // [B]
+    int32_t threads
+) {
+    if (threads < 1) threads = 1;
+    if (threads > num_ligands) threads = num_ligands > 0 ? num_ligands : 1;
+    if (threads == 1) {
+        dfs_range(0, num_ligands, table, cmax, pair_starts, conformers,
+                  active_offsets, cand_counts, out_scores);
+        return;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)threads);
+    const int32_t per = (num_ligands + threads - 1) / threads;
+    for (int32_t t = 0; t < threads; ++t) {
+        const int32_t lo = t * per;
+        const int32_t hi = lo + per < num_ligands ? lo + per : num_ligands;
+        if (lo >= hi) break;
+        pool.emplace_back(dfs_range, lo, hi, table, cmax, pair_starts,
+                          conformers, active_offsets, cand_counts, out_scores);
+    }
+    for (auto& th : pool) th.join();
+}
+
+extern "C" void match_dfs(
+    int32_t num_ligands,
+    const float* table,
+    int64_t cmax,
+    const int64_t* pair_starts,
+    const int32_t* conformers,
+    const int32_t* active_offsets,
+    const int32_t* cand_counts,
+    float* out_scores
+) {
+    dfs_range(0, num_ligands, table, cmax, pair_starts, conformers,
+              active_offsets, cand_counts, out_scores);
 }

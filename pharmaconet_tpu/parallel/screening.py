@@ -119,7 +119,7 @@ class ShardedScreener(BatchScreener):
             table = compact_pair_table(batch, tables[shard_idx])
             prune = host_prune_mask(batch, self.packed_model)
             table[: len(prune)][prune] = -1.0
-            scores.extend(_dfs_scores(batch, table))
+            scores.extend(_dfs_scores(batch, table, threads=self.pack_threads))
         for (i, _), s in zip(live, scores):
             out[i] = s
         return out
@@ -174,7 +174,7 @@ class ShardedScreener(BatchScreener):
             )
             prune = host_prune_mask(batch, self.packed_model)
             table[: len(prune)][prune] = -1.0
-            scores.extend(_dfs_scores(batch, table))
+            scores.extend(_dfs_scores(batch, table, threads=self.pack_threads))
         for (i, _), s in zip(live, scores):
             out[i] = s
         return out
@@ -320,5 +320,5 @@ class ShardedScreener(BatchScreener):
             table = compact_pair_table_rows(tables[k].copy(), tb.pair_end_rows)
             prune = host_prune_mask(tb, self.packed_model)
             table[: len(prune)][prune] = -1.0
-            scores.extend(_dfs_scores(tb, table))
+            scores.extend(_dfs_scores(tb, table, threads=self.pack_threads))
         return scores

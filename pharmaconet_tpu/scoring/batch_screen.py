@@ -781,15 +781,20 @@ def host_prune_mask(
 # ==========================================================================
 # Host DFS + end-to-end screening
 # ==========================================================================
-def _dfs_scores(batch: ScreenBatch, table: np.ndarray) -> list[float]:
+def _dfs_scores(
+    batch: ScreenBatch, table: np.ndarray, threads: int = 1
+) -> list[float]:
     """Run the assignment tree per ligand from the device table.
 
     Dispatches to the C++ DFS (pharmaconet_tpu/native/match_dfs.cpp) when
     available; the Python tree below is the semantic reference/fallback.
+    threads > 1 shards the per-ligand searches over a thread pool
+    (independent searches, bit-identical scores at any thread count).
     """
-    from ..native import get_match_dfs
+    from ..native import get_match_dfs, get_match_dfs_mt
 
     fn = get_match_dfs()
+    mt = get_match_dfs_mt() if threads > 1 else None
     cached = getattr(batch, "dfs_arrays", None)
     if fn is not None and cached is not None:
         # tile-store fast path: the conversion below was done at prepack
@@ -798,7 +803,7 @@ def _dfs_scores(batch: ScreenBatch, table: np.ndarray) -> list[float]:
         num = len(conformers)
         out = np.zeros(num, dtype=np.float32)
         table_c = np.ascontiguousarray(table, dtype=np.float32)
-        fn(
+        args = (
             num, table_c, table_c.shape[1],
             np.ascontiguousarray(pair_starts),
             np.ascontiguousarray(conformers),
@@ -807,6 +812,10 @@ def _dfs_scores(batch: ScreenBatch, table: np.ndarray) -> list[float]:
             if len(cand_counts) else np.zeros(0, np.int32),
             out,
         )
+        if mt is not None:
+            mt(*args, threads)
+        else:
+            fn(*args)
         return [float(v) for v in out]
     if cached is not None:
         raise RuntimeError(
@@ -824,13 +833,17 @@ def _dfs_scores(batch: ScreenBatch, table: np.ndarray) -> list[float]:
             active_offsets.append(len(cand_counts))
         out = np.zeros(num, dtype=np.float32)
         table_c = np.ascontiguousarray(table, dtype=np.float32)
-        fn(
+        args = (
             num, table_c, table_c.shape[1], pair_starts, conformers,
             np.asarray(active_offsets, dtype=np.int32),
             np.asarray(cand_counts, dtype=np.int32)
             if cand_counts else np.zeros(0, np.int32),
             out,
         )
+        if mt is not None:
+            mt(*args, threads)
+        else:
+            fn(*args)
         return [float(v) for v in out]
     return _dfs_scores_python(batch, table)
 
@@ -990,7 +1003,7 @@ class BatchScreener:
         )
         prune = host_prune_mask(tb, self.packed_model)
         table[: len(prune)][prune] = -1.0
-        return _dfs_scores(tb, table)
+        return _dfs_scores(tb, table, threads=self.pack_threads)
 
     def score_tb(self, tb) -> list[float]:
         """Device + host tail for one packed tiled batch."""
@@ -1021,7 +1034,7 @@ class BatchScreener:
             np.asarray(expanded_rows_dev), sb.pair_end_rows
         )
         table[: len(sb.prune)][sb.prune] = -1.0
-        live_scores = _dfs_scores(sb, table)
+        live_scores = _dfs_scores(sb, table, threads=self.pack_threads)
         scores = [0.0] * sb.batch_len
         for i, s in zip(sb.live_index, live_scores):
             scores[int(i)] = s

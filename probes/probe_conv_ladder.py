@@ -40,8 +40,8 @@ print(f"device: {jax.devices()[0]} batch={B}", flush=True)
 rng = np.random.default_rng(0)
 
 
-def mk(*shape):
-    return jnp.asarray(rng.normal(0, 0.1, shape).astype(np.float32))
+def mk(*shape, scale=0.1):
+    return jnp.asarray(rng.normal(0, scale, shape).astype(np.float32))
 
 
 def conv_op(x, w, precision):
@@ -70,36 +70,38 @@ def shift27(x, w, precision):
 
 
 def slope(fn, args, label, flops):
+    # CHAIN the ops (each output feeds the next input) and consume the
+    # final tensor with a full sum: a scalar-indexed conv output lets
+    # XLA's slice-of-conv rewrite compute ONE voxel (first attempt
+    # measured an impossible 1700 TF/s), and unrolled INDEPENDENT
+    # iterations materialize every 2 GB temp at once (OOM at unroll 8).
+    # Chaining also kills CSE without input perturbation.
     def make(k):
         @jax.jit
         def f(*a):
-            acc = jnp.zeros((), jnp.float32)
-            for i in range(k):
-                out = fn(*((a[0] + jnp.float32(i) * 1e-6,) + a[1:]))
-                acc = acc + out[0, 0, 0, 0, 0]
-            return acc
+            x = a[0]
+            for _ in range(k):
+                x = fn(*((x,) + a[1:]))
+            return jnp.sum(x)
 
         return f
 
-    ks = (2, 4, 8, 16)
-    fs = {k: make(k) for k in ks}
-    for f in fs.values():
-        float(f(*args))
-    rows = []
-    for k, f in fs.items():
-        ts = []
-        for _ in range(5):
-            t0 = time.time()
-            float(f(*args))
-            ts.append(time.time() - t0)
-        rows.append((k, statistics.median(ts)))
-    kk = np.array([k for k, _ in rows], float)
-    tt = np.array([t for _, t in rows])
-    A = np.vstack([kk, np.ones_like(kk)]).T
-    sl, icept = np.linalg.lstsq(A, tt, rcond=None)[0]
+    # paired 2/8 slope (bench.py estimator): 2 compiles per variant —
+    # relay compiles of 64^3 conv programs cost minutes each
+    f2, f8 = make(2), make(8)
+    float(f2(*args)), float(f8(*args))
+    estimates = []
+    for _ in range(7):
+        t0 = time.time()
+        float(f2(*args))
+        t2 = time.time() - t0
+        t0 = time.time()
+        float(f8(*args))
+        t8 = time.time() - t0
+        estimates.append(max((t8 - t2) / 6, 1e-9))
+    sl = statistics.median(estimates)
     print(
-        f"{label}: {sl * 1e3:.1f} ms/op (+{icept * 1e3:.0f} fixed) -> "
-        f"{flops / sl / 1e12:.1f} TF/s",
+        f"{label}: {sl * 1e3:.1f} ms/op -> {flops / sl / 1e12:.1f} TF/s",
         flush=True,
     )
     return sl
@@ -108,14 +110,16 @@ def slope(fn, args, label, flops):
 HI = jax.lax.Precision.HIGH
 HST = jax.lax.Precision.HIGHEST
 
+# unit-variance-preserving weight scale (1/sqrt(27*96)): chained convs
+# stay finite across the unroll depth
 x96 = mk(B, D, D, D, 96)
-w96 = mk(3, 3, 3, 96, 96)
+w96 = mk(3, 3, 3, 96, 96, scale=0.0196)
 scale = mk(96)
 bias = mk(96)
 f96 = 2.0 * B * D**3 * 27 * 96 * 96
 
 x128 = mk(B, D, D, D, 128)
-w128 = mk(3, 3, 3, 128, 128)
+w128 = mk(3, 3, 3, 128, 128, scale=0.017)
 f128 = 2.0 * B * D**3 * 27 * 128 * 128
 
 slope(functools.partial(conv_op, precision=HI), (x96, w96),

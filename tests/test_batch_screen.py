@@ -363,6 +363,35 @@ def test_native_tiled_pack_matches_reference_arrays(rich_model):
     assert (tb.depth1, tb.depth2) == (tiled.depth1, tiled.depth2)
 
 
+def test_match_dfs_mt_bit_equal(rich_model):
+    """The thread-sharded C++ DFS (match_dfs_mt) is BIT-identical to the
+    single-thread symbol at any thread count — per-ligand searches are
+    independent and write disjoint outputs."""
+    from bench import make_synthetic_ligands
+    from pharmaconet_tpu.native import get_match_dfs_mt
+    from pharmaconet_tpu.scoring.batch_screen import (
+        _dfs_scores, build_batch, compact_pair_table, host_prune_mask,
+        score_blocks_device,
+    )
+
+    if get_match_dfs_mt() is None:
+        pytest.skip("native match_dfs_mt unavailable")
+
+    packed = make_synthetic_ligands(48, seed=23)
+    screener = BatchScreener(rich_model, engine="xla")
+    batch = build_batch(screener.packed_model, packed)
+    args, (d1, d2) = screener.device_args(batch)
+    table = compact_pair_table(
+        batch, np.asarray(score_blocks_device(*args, depth1=d1, depth2=d2))
+    )
+    prune = host_prune_mask(batch, screener.packed_model)
+    table[: len(prune)][prune] = -1.0
+    want = _dfs_scores(batch, table, threads=1)
+    for threads in (2, 5, 48, 64):
+        got = _dfs_scores(batch, table, threads=threads)
+        assert got == want, f"threads={threads}"
+
+
 def test_native_tiled_pack_threads_score_equal(rich_model, test_ligands):
     """Multi-threaded native pack produces the same scores as the exact
     host matcher (segments are tile-aligned, merge preserves semantics)."""
