@@ -1,0 +1,127 @@
+"""Proxy inference split on the real chip: host featurization vs
+host->device transfer vs device GNN marginal.
+
+Round-3 BENCH_MODE=proxy is 9.2k mol/s/chip (223 ms/2048-batch) after the
+C++ SMILES featurizer; this probe splits the remainder so the projection
+for a real TPU host (PCIe transfer, featurization overlapped) is honest.
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+from bench import _SMILES_POOL
+
+from pharmaconet_tpu.proxy.data import batch_graphs, half_octave, smi2graph_list
+from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy
+from pharmaconet_tpu.proxy.tacogfn import graph_batch_to_arrays
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+print(f"device: {jax.devices()[0]} batch={B}", flush=True)
+
+rng = np.random.default_rng(0)
+features = [
+    jnp.asarray(rng.normal(0, 1, (1, d, d, d, 96)).astype(np.float32))
+    for d in (4, 8, 16, 32, 64)
+]
+hotspot_infos = [
+    {
+        "hotspot_feature": rng.normal(0, 1, 192).astype(np.float32),
+        "hotspot_position": tuple(rng.uniform(-5, 5, 3).tolist()),
+    }
+    for _ in range(16)
+]
+proxy = SBDDReward_Proxy()
+proxy._init_random()
+cache = proxy._get_cache(features, hotspot_infos)
+smiles = [_SMILES_POOL[i % len(_SMILES_POOL)] for i in range(B)]
+
+
+def med(fn, reps=7):
+    fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+t_full = med(lambda: float(np.sum(proxy._scoring_list(cache, smiles))))
+print(f"full _scoring_list: {t_full * 1e3:.1f} ms/batch "
+      f"-> {B / t_full:,.0f} mol/s", flush=True)
+
+t_smi = med(lambda: smi2graph_list(smiles))
+graphs = smi2graph_list(smiles)
+t_batch = med(lambda: graph_batch_to_arrays(
+    batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs))),
+    categorical=False))
+print(f"host featurization: smi2graph {t_smi * 1e3:.1f} ms + "
+      f"batch/arrays {t_batch * 1e3:.1f} ms", flush=True)
+
+batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
+arrays = graph_batch_to_arrays(batch, categorical=False)
+max_atoms = half_octave(int(batch.num_atoms.max()), minimum=16)
+x, pos, z = jnp.asarray(cache[0]), jnp.asarray(cache[1]), jnp.asarray(cache[2])
+dev_cache = (x, pos, z, float(cache[3]), float(cache[4]))
+nbytes = sum(np.asarray(a).nbytes for a in arrays[:7])
+print(f"transfer payload: {nbytes / 1e6:.1f} MB/batch "
+      f"(~{nbytes / 35e6 * 1e3:.0f} ms at the 35 MB/s relay; a PCIe copy "
+      "on a real host)", flush=True)
+
+# device-resident repeat: host arrays already converted once outside loop
+dev_arrays = tuple(jnp.asarray(a) for a in arrays[:7])
+t_fwd = med(lambda: float(np.sum(np.asarray(proxy._apply_scoring(
+    dev_cache, dev_arrays, batch.num_graphs, False, max_atoms)))))
+print(f"forward w/ device-resident args: {t_fwd * 1e3:.1f} ms "
+      "(dispatch + GNN + result back)", flush=True)
+
+# device marginal: k-unrolled forward with perturbed edge attr (kills CSE)
+def make(k):
+    @jax.jit
+    def f(dargs):
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            a = (dargs[0] + jnp.float32(i) * 1e-6,) + dargs[1:]
+            acc = acc + jnp.sum(proxy._apply_scoring.__wrapped__(
+                proxy, dev_cache, a, batch.num_graphs, False, max_atoms))
+        return acc
+
+    return f
+
+
+f2, f8 = make(2), make(8)
+float(f2(dev_arrays)), float(f8(dev_arrays))
+est = []
+for _ in range(7):
+    t0 = time.time()
+    float(f2(dev_arrays))
+    t2 = time.time() - t0
+    t0 = time.time()
+    float(f8(dev_arrays))
+    t8 = time.time() - t0
+    est.append(max((t8 - t2) / 6, 1e-9))
+t_gnn = statistics.median(est)
+print(f"device GNN marginal: {t_gnn * 1e3:.1f} ms/batch "
+      f"-> {B / t_gnn:,.0f} mol/s/chip device-bound", flush=True)
+
+host = t_smi + t_batch
+print(
+    f"split: host featurization {host * 1e3:.0f} ms | device {t_gnn * 1e3:.1f} ms "
+    f"| rest (relay transfer + dispatch) {max(0.0, t_full - host - t_gnn) * 1e3:.0f} ms. "
+    f"Real-host projection (PCIe, featurization overlapped across cores): "
+    f"min(device {B / t_gnn:,.0f}, cores x {B / host:,.0f}) mol/s",
+    flush=True,
+)
+print("done", flush=True)
