@@ -42,10 +42,20 @@ class BaseProxy:
     cache_gdrive_link: dict[tuple[str, str], str] = {}
     model_gdrive_link: dict[str, str] = {}
 
-    def __init__(self, ckpt_path: str | Path | None = None, pmnet_kwargs: dict | None = None):
+    def __init__(self, ckpt_path: str | Path | None = None, pmnet_kwargs: dict | None = None,
+                 precision: str = "float32"):
+        """precision: matmul precision for proxy inference. 'float32'
+        (default) matches the torch reference's true-f32 linears
+        (torch matmul allow_tf32 defaults False, unlike its convs).
+        Lower precisions are exposed for other hardware, but MEASURED
+        USELESS here: after the flat-atom rewrite the ComplexFormer
+        forward is HBM-bound, and tensorfloat32 gains only 1.02x for a
+        ~3e-2 score deviation (PERF_NOTES round-3 proxy split)."""
+        assert precision in ("float32", "tensorfloat32", "bfloat16")
         self.pmnet = None  # lazy (base/proxy.py:44, 269-274)
         self._cache: dict[str, Cache] = {}
         self._pmnet_kwargs = pmnet_kwargs or {}
+        self.precision = precision
         self._setup_model()
         if ckpt_path is not None:
             self._load_checkpoint(ckpt_path)

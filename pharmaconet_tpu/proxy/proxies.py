@@ -89,7 +89,7 @@ class TacoGFN_Proxy(BaseProxy):
 
     @functools.partial(jax.jit, static_argnames=("self", "num_graphs"))
     def _apply_affinity(self, pocket, token, arrays7, num_graphs):
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision(self.precision):
             return self.model.apply(
                 self.params, pocket, token, (*arrays7, num_graphs),
                 method="calculate_affinity",
@@ -154,12 +154,11 @@ class SBDDReward_Proxy(BaseProxy):
             return np.zeros(len(smiles_list), dtype=np.float32)
         batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
         arrays = graph_batch_to_arrays(batch, categorical=False)
-        max_atoms = half_octave(int(batch.num_atoms.max()), minimum=16)
         x, pos, z = jnp.asarray(cache[0]), jnp.asarray(cache[1]), jnp.asarray(cache[2])
         mu, std = float(cache[3]), float(cache[4])
         dev_cache = (x, pos, z, mu, std)
         scores = np.asarray(
-            self._apply_scoring(dev_cache, arrays[:7], batch.num_graphs, return_sigma, max_atoms)
+            self._apply_scoring(dev_cache, arrays[:7], batch.num_graphs, return_sigma)
         )[: len(graphs)]
         if all(flags):
             return scores
@@ -168,12 +167,12 @@ class SBDDReward_Proxy(BaseProxy):
         return result
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "num_graphs", "return_sigma", "max_atoms")
+        jax.jit, static_argnames=("self", "num_graphs", "return_sigma")
     )
-    def _apply_scoring(self, cache, arrays7, num_graphs, return_sigma, max_atoms):
-        with jax.default_matmul_precision("float32"):
+    def _apply_scoring(self, cache, arrays7, num_graphs, return_sigma):
+        with jax.default_matmul_precision(self.precision):
             return self.model.apply(
-                self.params, cache, (*arrays7, num_graphs), return_sigma, max_atoms,
+                self.params, cache, (*arrays7, num_graphs), return_sigma,
                 method="scoring",
             )
 

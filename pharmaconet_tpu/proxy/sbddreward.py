@@ -60,13 +60,21 @@ class PharmacophoreEncoder(nn.Module):
 
 
 class TriangleMultiplicativeUpdate(nn.Module):
-    """Direct triangular update (triangular_multiplicative_update.py:7-34)."""
+    """Direct triangular update (triangular_multiplicative_update.py:7-34).
+
+    FLAT-ATOM layout: the reference computes on a dense [N, Amax, K, C]
+    complex tensor (torch-geometric to_dense_batch), but every op here is
+    per-atom-row independent — the contraction is over the hotspot axis —
+    so this build runs on the flat atom batch [V, K, C] instead, paying
+    for real atoms only (the dense form pays Amax for every molecule:
+    ~1.8x wasted HBM at drug-like sizes; the forward is HBM-bound,
+    PERF_NOTES round-3 proxy split). Math per row is identical."""
 
     hidden_dim: int = HIDDEN
 
     @nn.compact
     def __call__(self, z, b, z_mask):
-        # z: [N, A, B, C] complex; b: [B, B, C] protein pair; mask: [N, A]
+        # z: [V, K, C] flat complex rows; b: [K, K, C]; z_mask: [V]
         bb = nn.Dense(self.hidden_dim, name="linear_b")(b) * jax.nn.sigmoid(
             nn.Dense(self.hidden_dim, name="linear_b_g")(b)
         )
@@ -74,17 +82,17 @@ class TriangleMultiplicativeUpdate(nn.Module):
         gated = nn.Dense(self.hidden_dim, name="linear_z")(z) * jax.nn.sigmoid(
             nn.Dense(self.hidden_dim, name="linear_z_g")(z)
         )
-        gated = gated * z_mask[..., None, None]
-        message = jnp.einsum("bikc,jkc->bijc", gated, bb)
+        gated = gated * z_mask[:, None, None]
+        message = jnp.einsum("vkc,jkc->vjc", gated, bb)
         out = jax.nn.sigmoid(nn.Dense(z.shape[-1], name="linear_o_g")(z)) * nn.Dense(
             z.shape[-1], name="linear_o"
         )(message)
-        return out * z_mask[..., None, None]
+        return out * z_mask[:, None, None]
 
 
 class TriangleAttention(nn.Module):
-    """Gated MHA over the hotspot axis with mask bias
-    (triangular_attention.py:10-188)."""
+    """Gated MHA over the hotspot axis (triangular_attention.py:10-188),
+    flat-atom layout (see TriangleMultiplicativeUpdate)."""
 
     hidden_dim: int = HIDDEN
     head_dim: int = HIDDEN // 4
@@ -93,29 +101,29 @@ class TriangleAttention(nn.Module):
 
     @nn.compact
     def __call__(self, z, mask):
-        # z: [N, A, B, C]; mask: [N, A] (valid ligand atoms)
+        # z: [V, K, C]; mask: [V] (valid ligand atoms)
         x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(z)
-        n, a, b, c = x.shape
+        v_rows, b, c = x.shape
         nh, hd = self.num_heads, self.head_dim
 
         def heads(name):
-            return nn.Dense(nh * hd, use_bias=False, name=name)(x).reshape(n, a, b, nh, hd)
+            return nn.Dense(nh * hd, use_bias=False, name=name)(x).reshape(
+                v_rows, b, nh, hd)
 
         q = heads("linear_q") / math.sqrt(hd)
         k = heads("linear_k")
         v = heads("linear_v")
-        # attention over the last token axis (B) for each (n, a) row
-        attn = jnp.einsum("nabhd,nachd->nahbc", q, k)  # [N, A, H, B, B]
+        # attention over the hotspot axis for each atom row
+        attn = jnp.einsum("vbhd,vchd->vhbc", q, k)  # [V, H, B, B]
         # reference mask bias derives from the LIGAND mask broadcast over
-        # rows: (inf * (mask-1))[:, :, None, None, :] with mask [N, A(B?)]
-        # (head.py:92: mask_complex is per-ligand-atom); the key-axis mask is
-        # uniform here because every hotspot is valid
+        # rows (head.py:92: mask_complex is per-ligand-atom); the key-axis
+        # mask is uniform here because every hotspot is valid
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("nahbc,nachd->nabhd", attn, v)
+        out = jnp.einsum("vhbc,vchd->vbhd", attn, v)
         gate = jax.nn.sigmoid(
-            nn.Dense(nh * hd, name="linear_g")(x).reshape(n, a, b, nh, hd)
+            nn.Dense(nh * hd, name="linear_g")(x).reshape(v_rows, b, nh, hd)
         )
-        out = (out * gate).reshape(n, a, b, nh * hd)
+        out = (out * gate).reshape(v_rows, b, nh * hd)
         out = nn.Dense(c, name="linear_o")(out)
         return out
 
@@ -130,7 +138,7 @@ class PairTransition(nn.Module):
         z = nn.Dense(self.hidden_dim * self.expand, name="linear_1")(z)
         z = jax.nn.relu(z)
         z = nn.Dense(self.hidden_dim, name="linear_2")(z)
-        return z * mask[..., None, None]
+        return z * mask[:, None, None]
 
 
 class ComplexFormerBlock(nn.Module):
@@ -170,16 +178,21 @@ class SBDDAffinityHead(nn.Module):
         return jax.nn.sigmoid(self.std_fc2(h)).reshape(()) * 5.0
 
     def cal_sigma(self, x_protein, pos_protein, z_protein, x_ligand, z_ligand,
-                  atom_graph, atom_valid, num_graphs, max_atoms: int | None = None):
+                  atom_graph, atom_valid, num_graphs):
         """x_protein [K,h], pos_protein [K,3], z_protein [h], x_ligand [V,h],
-        z_ligand [N,h]. Returns sigma [N]."""
-        # dense complex tensor [N, Amax, K, h] from the flat atom batch
+        z_ligand [N,h]. Returns sigma [N].
+
+        Runs the ComplexFormer on the FLAT atom batch [V, K, h]: the
+        reference densifies to [N, Amax, K, h] (head.py to_dense_batch),
+        but every block op is per-atom-row independent, so the dense form
+        only adds Amax-padding HBM traffic. The per-graph reduction
+        happens once at the end as a segment sum (padded atoms carry
+        atom_graph == num_graphs, the dropped sentinel segment)."""
         interaction = jnp.einsum("ik,jk->ijk", x_ligand, x_protein)  # [V, K, h]
         # interaction_mlp = Linear + LeakyReLU (reference head.py:15-18)
         interaction = jax.nn.leaky_relu(self.interaction_fc(interaction), negative_slope=0.01)
-        z_complex, mask = _to_dense_batch(
-            interaction, atom_graph, atom_valid, num_graphs, max_atoms
-        )
+        mask = atom_valid.astype(interaction.dtype)  # [V]
+        z_complex = interaction * mask[:, None, None]
 
         if x_protein.shape[0] > 0:
             pdist = jnp.linalg.norm(
@@ -192,7 +205,10 @@ class SBDDAffinityHead(nn.Module):
             z_complex = z0 + z_complex
 
         z_sigma = self.sigma_fc(z_complex) * jax.nn.sigmoid(self.sigma_gate(z_complex))
-        sigma = (z_sigma[..., 0] * mask[..., None]).sum((1, 2))  # [N]
+        per_atom = (z_sigma[..., 0] * mask[:, None]).sum(-1)  # [V]
+        sigma = jax.ops.segment_sum(
+            per_atom, atom_graph, num_segments=num_graphs + 1
+        )[:num_graphs]
         pocket_rep = jnp.broadcast_to(z_protein[None], (z_ligand.shape[0], self.hidden_dim))
         bias = self.sigma_bias_fc2(
             jax.nn.leaky_relu(
@@ -201,24 +217,6 @@ class SBDDAffinityHead(nn.Module):
             )
         )
         return sigma + bias[:, 0]
-
-
-def _to_dense_batch(x, atom_graph, atom_valid, num_graphs, max_atoms: int | None = None):
-    """Flat [V, ...] -> dense [N, Amax, ...] + mask [N, Amax] (torch-geometric
-    to_dense_batch equivalent). max_atoms bounds the per-graph atom count;
-    out-of-bounds scatter rows are dropped by JAX semantics."""
-    v = x.shape[0]
-    amax = int(max_atoms) if max_atoms is not None else v
-    # position of each atom within its graph
-    order = jnp.cumsum(jax.nn.one_hot(atom_graph, num_graphs + 1, dtype=jnp.int32), axis=0)
-    slot = order[jnp.arange(v), atom_graph] - 1  # [V]
-    xm = jnp.where(atom_valid[(...,) + (None,) * (x.ndim - 1)], x, 0.0)
-    dense = jnp.zeros((num_graphs + 1, amax) + x.shape[1:], dtype=x.dtype)
-    dense = dense.at[atom_graph, slot].set(xm, mode="drop")
-    mask = jnp.zeros((num_graphs + 1, amax), dtype=bool).at[atom_graph, slot].set(
-        atom_valid, mode="drop"
-    )
-    return dense[:-1], mask[:-1]
 
 
 class SBDDRewardNetwork(nn.Module):
@@ -240,14 +238,13 @@ class SBDDRewardNetwork(nn.Module):
         )
         return x, pos, z, self.head.cal_mu(z), self.head.cal_std(z)
 
-    def scoring(self, cache, batch_arrays, return_sigma: bool = False,
-                max_atoms: int | None = None):
+    def scoring(self, cache, batch_arrays, return_sigma: bool = False):
         x_protein, pos_protein, z_protein, mu, std = cache
         x_ligand, z_ligand = self.ligand_encoder(batch_arrays)
         atom_graph, atom_valid, num_graphs = batch_arrays[1], batch_arrays[2], batch_arrays[7]
         sigma = self.head.cal_sigma(
             x_protein, pos_protein, z_protein, x_ligand, z_ligand,
-            atom_graph, atom_valid, num_graphs, max_atoms,
+            atom_graph, atom_valid, num_graphs,
         )
         if return_sigma:
             return sigma

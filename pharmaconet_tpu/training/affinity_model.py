@@ -13,24 +13,32 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..proxy.gnn import GraphEncoder
-from ..proxy.sbddreward import PharmacophoreEncoder, _to_dense_batch
+from ..proxy.sbddreward import PharmacophoreEncoder
 
 
 class DevAffinityHead(nn.Module):
-    """Interaction-sum head (developer/src/network/head.py:6-43)."""
+    """Interaction-sum head (developer/src/network/head.py:6-43).
+
+    FLAT-ATOM layout: the reference densifies to [N, Amax, K, h] only to
+    mask and sum; every op is per-atom-row independent, so this build
+    computes on the flat [V, K, h] batch and reduces with one segment sum
+    (padded atoms carry atom_graph == num_graphs, the dropped sentinel) —
+    no Amax padding traffic, and max_atoms disappears as a compile key.
+    Same rationale as the SBDD ComplexFormer flat rewrite (PERF_NOTES)."""
 
     hidden_dim: int = 128
 
     @nn.compact
-    def __call__(self, x_protein, x_ligand, atom_graph, atom_valid, num_graphs,
-                 max_atoms: int | None = None):
+    def __call__(self, x_protein, x_ligand, atom_graph, atom_valid, num_graphs):
         z = jnp.einsum("ik,jk->ijk", x_ligand, x_protein)  # [V, K, h]
-        z, mask = _to_dense_batch(z, atom_graph, atom_valid, num_graphs, max_atoms)
         z = jax.nn.leaky_relu(nn.Dense(self.hidden_dim, name="interaction_fc")(z), 0.01)
         z = nn.Dense(self.hidden_dim, name="affinity_fc1")(z)
         z = jax.nn.leaky_relu(z, 0.01)
-        pair = nn.Dense(1, name="affinity_fc2")(z)[..., 0]  # [N, A, K]
-        return (pair * mask[..., None]).sum((1, 2))
+        pair = nn.Dense(1, name="affinity_fc2")(z)[..., 0]  # [V, K]
+        per_atom = (pair * atom_valid.astype(pair.dtype)[:, None]).sum(-1)  # [V]
+        return jax.ops.segment_sum(
+            per_atom, atom_graph, num_segments=num_graphs + 1
+        )[:num_graphs]
 
 
 class DevAffinityModel(nn.Module):
@@ -53,8 +61,7 @@ class DevAffinityModel(nn.Module):
         self.head = DevAffinityHead(self.hidden_dim, name="head")
 
     def __call__(self, multi_scale_features, hotspot_features, hotspot_positions,
-                 batch_arrays, max_atoms: int | None = None,
-                 hotspot_valid=None):
+                 batch_arrays, hotspot_valid=None):
         """Returns predicted affinities [N_ligand]. hotspot_valid ([K] bool,
         optional) masks padded hotspot rows EXACTLY: the encoder is
         row-independent over K and the head sums over K, so zeroing a
@@ -68,14 +75,13 @@ class DevAffinityModel(nn.Module):
             x_protein = jnp.where(hotspot_valid[:, None], x_protein, 0.0)
         x_ligand, _ = self.ligand_encoder(batch_arrays)
         atom_graph, atom_valid, num_graphs = batch_arrays[1], batch_arrays[2], batch_arrays[7]
-        return self.head(x_protein, x_ligand, atom_graph, atom_valid, num_graphs, max_atoms)
+        return self.head(x_protein, x_ligand, atom_graph, atom_valid, num_graphs)
 
     def loss(self, multi_scale_features, hotspot_features, hotspot_positions,
-             batch_arrays, affinities, ligand_valid, max_atoms: int | None = None,
-             hotspot_valid=None):
+             batch_arrays, affinities, ligand_valid, hotspot_valid=None):
         pred = self(
             multi_scale_features, hotspot_features, hotspot_positions, batch_arrays,
-            max_atoms, hotspot_valid,
+            hotspot_valid,
         )
         err = (pred - affinities) ** 2
         denom = jnp.maximum(jnp.sum(ligand_valid), 1.0)

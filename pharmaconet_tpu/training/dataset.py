@@ -35,7 +35,6 @@ class PocketItem:
     batch_arrays: tuple
     affinities: np.ndarray  # [NGpad]
     ligand_valid: np.ndarray  # [NGpad]
-    max_atoms: int
 
     def model_args(self):
         return (
@@ -43,7 +42,6 @@ class PocketItem:
             jnp.asarray(self.hotspot_features),
             jnp.asarray(self.hotspot_positions),
             self.batch_arrays,
-            self.max_atoms,
             jnp.asarray(self.hotspot_valid),
         )
 
@@ -55,16 +53,16 @@ class PocketItem:
             self.batch_arrays,
             jnp.asarray(self.affinities),
             jnp.asarray(self.ligand_valid),
-            self.max_atoms,
             jnp.asarray(self.hotspot_valid),
         )
 
     def shape_key(self) -> tuple:
-        """Bucket signature — items sharing it reuse one compiled step."""
+        """Bucket signature — items sharing it reuse one compiled step.
+        (The flat-atom head removed max_atoms as a bucket axis: the
+        per-graph atom count no longer shapes any array.)"""
         return (
             self.hotspot_features.shape[0],
             tuple(a.shape if hasattr(a, "shape") else a for a in self.batch_arrays),
-            self.max_atoms,
         )
 
 
@@ -130,7 +128,6 @@ class PocketLigandDataset:
         # predictions are 0 and ligand_valid excludes them from the loss)
         batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
         arrays = graph_batch_to_arrays(batch, categorical=False)
-        max_atoms = half_octave(int(batch.num_atoms.max()), minimum=16)
         n, ng = len(graphs), batch.num_graphs
         aff = np.zeros(ng, dtype=np.float32)
         aff[:n] = affinities
@@ -144,7 +141,6 @@ class PocketLigandDataset:
             batch_arrays=arrays,
             affinities=aff,
             ligand_valid=valid,
-            max_atoms=max_atoms,
         )
 
 
@@ -162,7 +158,7 @@ def collate_identity(batch: list[PocketItem]) -> list[PocketItem]:
 # ligand_valid — same invariants the per-item bucketing already relies on).
 # --------------------------------------------------------------------------
 def _repad_item(
-    item: PocketItem, k_pad: int, vp: int, ep: int, ng: int, max_atoms: int
+    item: PocketItem, k_pad: int, vp: int, ep: int, ng: int
 ) -> PocketItem:
     hf0 = item.hotspot_features
     k0 = hf0.shape[0]
@@ -170,9 +166,7 @@ def _repad_item(
     ai, ag, av, es, ed, ei, ev = (
         np.asarray(a) for a in (ai, ag, av, es, ed, ei, ev)
     )
-    if (k0, ai.shape[0], es.shape[0], int(ng0), item.max_atoms) == (
-        k_pad, vp, ep, ng, max_atoms
-    ):
+    if (k0, ai.shape[0], es.shape[0], int(ng0)) == (k_pad, vp, ep, ng):
         return item
     vp0, ep0 = ai.shape[0], es.shape[0]
 
@@ -205,7 +199,7 @@ def _repad_item(
     return PocketItem(
         multi_scale_features=item.multi_scale_features,
         hotspot_features=hf, hotspot_positions=hp, hotspot_valid=hv,
-        batch_arrays=ba, affinities=aff, ligand_valid=lv, max_atoms=max_atoms,
+        batch_arrays=ba, affinities=aff, ligand_valid=lv,
     )
 
 
@@ -215,5 +209,4 @@ def repad_items(items: list[PocketItem]) -> list[PocketItem]:
     vp = max(np.asarray(i.batch_arrays[0]).shape[0] for i in items)
     ep = max(np.asarray(i.batch_arrays[3]).shape[0] for i in items)
     ng = max(int(i.batch_arrays[-1]) for i in items)
-    max_atoms = max(i.max_atoms for i in items)
-    return [_repad_item(i, k, vp, ep, ng, max_atoms) for i in items]
+    return [_repad_item(i, k, vp, ep, ng) for i in items]

@@ -154,17 +154,16 @@ class Trainer:
         # Jitted: the dataset buckets every ragged axis (hotspot count K
         # is exactly masked via hotspot_valid; ligand graphs pad to
         # half-octave buckets with loss-masked fakes), so one program
-        # compiles per shape-bucket composition — not per pocket. The
-        # scalar max_atoms stays static per bucket.
+        # compiles per shape-bucket composition — not per pocket.
         @functools.partial(jax.jit, static_argnames=("static_items",))
         def train_step_jit(params, opt_state, array_items, static_items):
             def batch_loss(p):
                 losses = []
-                for (feats, hf, hp, ba7, aff, lv, hv), (max_atoms, ng) in zip(
+                for (feats, hf, hp, ba7, aff, lv, hv), ng in zip(
                     array_items, static_items
                 ):
                     losses.append(
-                        loss_fn(p, (feats, hf, hp, (*ba7, ng), aff, lv, max_atoms, hv))
+                        loss_fn(p, (feats, hf, hp, (*ba7, ng), aff, lv, hv))
                     )
                 return jnp.mean(jnp.stack(losses))
 
@@ -176,27 +175,27 @@ class Trainer:
         def train_step(params, opt_state, items):
             # per-pocket losses averaged (developer model.py:51-56).
             # loss_args() = (feats, hf, hp, batch_arrays, aff, lv,
-            # max_atoms, hotspot_valid); the two Python ints (max_atoms and
-            # batch_arrays' trailing num_graphs) become static jit args
+            # hotspot_valid); batch_arrays' trailing num_graphs (a Python
+            # int) becomes the static jit arg
             array_items = []
             static_items = []
             for a in items:
-                feats, hf, hp, ba, aff, lv, max_atoms, hv = a
+                feats, hf, hp, ba, aff, lv, hv = a
                 array_items.append((tuple(feats), hf, hp, tuple(ba[:-1]), aff, lv, hv))
-                static_items.append((max_atoms, int(ba[-1])))
+                static_items.append(int(ba[-1]))
             return train_step_jit(
                 params, opt_state, tuple(array_items), tuple(static_items)
             )
 
-        @functools.partial(jax.jit, static_argnames=("max_atoms", "ng"))
-        def eval_loss_jit(params, feats, hf, hp, ba7, aff, lv, hv, max_atoms, ng):
-            return loss_fn(params, (feats, hf, hp, (*ba7, ng), aff, lv, max_atoms, hv))
+        @functools.partial(jax.jit, static_argnames=("ng",))
+        def eval_loss_jit(params, feats, hf, hp, ba7, aff, lv, hv, ng):
+            return loss_fn(params, (feats, hf, hp, (*ba7, ng), aff, lv, hv))
 
         def eval_loss(params, item_args):
-            feats, hf, hp, ba, aff, lv, max_atoms, hv = item_args
+            feats, hf, hp, ba, aff, lv, hv = item_args
             return eval_loss_jit(
                 params, tuple(feats), hf, hp, tuple(ba[:-1]), aff, lv, hv,
-                max_atoms=max_atoms, ng=int(ba[-1]),
+                ng=int(ba[-1]),
             )
 
         self._train_step = train_step
@@ -204,15 +203,16 @@ class Trainer:
         self._loss_fn = eval_loss
 
         if self.mesh is not None:
-            self._dp_programs: dict[tuple[int, int], object] = {}
+            self._dp_programs: dict[int, object] = {}
 
     # ------------------------------------------------------------------
     # Data-parallel step (mesh with a 'data' axis)
     # ------------------------------------------------------------------
-    def _dp_program(self, max_atoms: int, ng: int):
-        """One jitted DP program per (max_atoms, ng) static pair; the jit
-        cache handles the remaining shape buckets."""
-        prog = self._dp_programs.get((max_atoms, ng))
+    def _dp_program(self, ng: int):
+        """One jitted DP program per ng (num_graphs is a Python int baked
+        into the trace); the jit cache handles the remaining shape
+        buckets."""
+        prog = self._dp_programs.get(ng)
         if prog is not None:
             return prog
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -228,7 +228,7 @@ class Trainer:
                 def one(f5, hf1, hp1, ba71, aff1, lv1, hv1):
                     return model.apply(
                         p, list(f5), hf1, hp1, (*ba71, ng), aff1, lv1,
-                        max_atoms, hv1, method="loss",
+                        hv1, method="loss",
                     )
 
                 return jnp.mean(jax.vmap(one)(feats5, hf, hp, ba7, aff, lv, hv))
@@ -243,7 +243,7 @@ class Trainer:
             in_shardings=(replicated, replicated, sharded),
             out_shardings=(replicated, replicated, replicated),
         )
-        self._dp_programs[(max_atoms, ng)] = prog
+        self._dp_programs[ng] = prog
         return prog
 
     def dp_step(self, params, opt_state, items):
@@ -255,7 +255,6 @@ class Trainer:
             f"DP batch size {len(items)} must divide the mesh size {n_dev}"
         )
         items = repad_items(items)
-        max_atoms = items[0].max_atoms
         ng = int(items[0].batch_arrays[-1])
         feats5 = tuple(
             jnp.stack([jnp.asarray(i.multi_scale_features[lvl]) for i in items])
@@ -271,7 +270,7 @@ class Trainer:
         aff = jnp.stack([jnp.asarray(i.affinities) for i in items])
         lv = jnp.stack([jnp.asarray(i.ligand_valid) for i in items])
         batch = (feats5, hf, hp, ba7, aff, lv, hv)
-        return self._dp_program(max_atoms, ng)(params, opt_state, batch)
+        return self._dp_program(ng)(params, opt_state, batch)
 
     # ------------------------------------------------------------------
     def fit(self, resume_from: str | Path | None = None):

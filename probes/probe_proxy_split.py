@@ -72,7 +72,6 @@ print(f"host featurization: smi2graph {t_smi * 1e3:.1f} ms + "
 
 batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
 arrays = graph_batch_to_arrays(batch, categorical=False)
-max_atoms = half_octave(int(batch.num_atoms.max()), minimum=16)
 x, pos, z = jnp.asarray(cache[0]), jnp.asarray(cache[1]), jnp.asarray(cache[2])
 dev_cache = (x, pos, z, float(cache[3]), float(cache[4]))
 nbytes = sum(np.asarray(a).nbytes for a in arrays[:7])
@@ -83,7 +82,7 @@ print(f"transfer payload: {nbytes / 1e6:.1f} MB/batch "
 # device-resident repeat: host arrays already converted once outside loop
 dev_arrays = tuple(jnp.asarray(a) for a in arrays[:7])
 t_fwd = med(lambda: float(np.sum(np.asarray(proxy._apply_scoring(
-    dev_cache, dev_arrays, batch.num_graphs, False, max_atoms)))))
+    dev_cache, dev_arrays, batch.num_graphs, False)))))
 print(f"forward w/ device-resident args: {t_fwd * 1e3:.1f} ms "
       "(dispatch + GNN + result back)", flush=True)
 
@@ -95,7 +94,7 @@ def make(k):
         for i in range(k):
             a = (dargs[0] + jnp.float32(i) * 1e-6,) + dargs[1:]
             acc = acc + jnp.sum(proxy._apply_scoring.__wrapped__(
-                proxy, dev_cache, a, batch.num_graphs, False, max_atoms))
+                proxy, dev_cache, a, batch.num_graphs, False))
         return acc
 
     return f
@@ -124,4 +123,45 @@ print(
     f"min(device {B / t_gnn:,.0f}, cores x {B / host:,.0f}) mol/s",
     flush=True,
 )
+
+# tensorfloat32 opt-in: same params, measured speed + score deviation
+proxy_tf = SBDDReward_Proxy(precision="tensorfloat32")
+proxy_tf.params = proxy.params
+s_f32 = np.asarray(proxy._scoring_list(cache, smiles))
+s_tf = np.asarray(proxy_tf._scoring_list(cache, smiles))
+dev = np.abs(s_tf - s_f32)
+print(f"tf32 score deviation: max abs {dev.max():.2e} "
+      f"(scores span [{s_f32.min():.2f}, {s_f32.max():.2f}])", flush=True)
+t_full_tf = med(lambda: float(np.sum(proxy_tf._scoring_list(cache, smiles))))
+print(f"tf32 full _scoring_list: {t_full_tf * 1e3:.1f} ms/batch "
+      f"-> {B / t_full_tf:,.0f} mol/s ({t_full / t_full_tf:.2f}x)", flush=True)
+
+
+def make_tf(k):
+    @jax.jit
+    def f(dargs):
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            a = (dargs[0] + jnp.float32(i) * 1e-6,) + dargs[1:]
+            acc = acc + jnp.sum(proxy_tf._apply_scoring.__wrapped__(
+                proxy_tf, dev_cache, a, batch.num_graphs, False))
+        return acc
+
+    return f
+
+
+f2, f8 = make_tf(2), make_tf(8)
+float(f2(dev_arrays)), float(f8(dev_arrays))
+est = []
+for _ in range(7):
+    t0 = time.time()
+    float(f2(dev_arrays))
+    t2 = time.time() - t0
+    t0 = time.time()
+    float(f8(dev_arrays))
+    t8 = time.time() - t0
+    est.append(max((t8 - t2) / 6, 1e-9))
+t_gnn_tf = statistics.median(est)
+print(f"tf32 device GNN marginal: {t_gnn_tf * 1e3:.1f} ms/batch "
+      f"-> {B / t_gnn_tf:,.0f} mol/s/chip ({t_gnn / t_gnn_tf:.2f}x)", flush=True)
 print("done", flush=True)

@@ -88,6 +88,25 @@ def test_sbdd_proxy_random(fake_features):
     np.testing.assert_allclose(scores3[[0, 2]], scores, rtol=2e-4, atol=1e-5)
 
 
+def test_sbdd_proxy_precision_opt_in(fake_features):
+    """precision='tensorfloat32' is a serving opt-in (the ComplexFormer is
+    device-FLOP-bound, PERF_NOTES round-3): same params, scores close to
+    the float32 default. (On the CPU backend all precisions lower to the
+    same f32 ops — this pins the API and trace plumbing; the numeric
+    deviation is measured on the real chip in probe_proxy_split.py.)"""
+    features, hotspot_infos = fake_features
+    proxy = SBDDReward_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+    want = proxy._scoring_list(cache, ["c1ccccc1", "CCO"])
+    tf = SBDDReward_Proxy(precision="tensorfloat32")
+    tf.params = proxy.params
+    got = tf._scoring_list(cache, ["c1ccccc1", "CCO"])
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+    with pytest.raises(AssertionError):
+        SBDDReward_Proxy(precision="float16")
+
+
 def test_sigma_statistics(fake_features):
     features, hotspot_infos = fake_features
     proxy = SBDDReward_Proxy()
