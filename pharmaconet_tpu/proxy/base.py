@@ -44,13 +44,16 @@ class BaseProxy:
 
     def __init__(self, ckpt_path: str | Path | None = None, pmnet_kwargs: dict | None = None,
                  precision: str = "float32"):
-        """precision: matmul precision for proxy inference. 'float32'
-        (default) matches the torch reference's true-f32 linears
-        (torch matmul allow_tf32 defaults False, unlike its convs).
-        Lower precisions are exposed for other hardware, but MEASURED
-        USELESS here: after the flat-atom rewrite the ComplexFormer
-        forward is HBM-bound, and tensorfloat32 gains only 1.02x for a
-        ~3e-2 score deviation (PERF_NOTES round-3 proxy split)."""
+        """precision: compute precision for proxy inference. 'float32'
+        (default) matches the torch reference's true-f32 linears (torch
+        matmul allow_tf32 defaults False, unlike its convs).
+        'tensorfloat32' lowers only the MXU pass precision — MEASURED
+        USELESS here (1.02x for ~3e-2 deviation): after the flat-atom
+        rewrite the ComplexFormer forward is HBM-bound, not FLOP-bound.
+        'bfloat16' is the lever that fits that regime: params AND
+        activations are cast to bf16 inside the trace, halving the bytes
+        streamed from HBM; scores deviate at bf16's ~8 mantissa bits
+        (measured on the real chip, PERF_NOTES round-3)."""
         assert precision in ("float32", "tensorfloat32", "bfloat16")
         self.pmnet = None  # lazy (base/proxy.py:44, 269-274)
         self._cache: dict[str, Cache] = {}

@@ -19,6 +19,18 @@ from .sbddreward import SBDDRewardNetwork, convert_sbddreward_checkpoint
 from .tacogfn import TacoAffinityHead, convert_tacogfn_checkpoint, graph_batch_to_arrays
 
 
+def _cast_floating(tree, dtype):
+    """Cast every floating-point leaf (params AND activations) to dtype;
+    integer graph indices pass through. Used by the bfloat16 compute-dtype
+    opt-in — the cast happens inside the jitted trace, so XLA folds the
+    param casts at compile time and the program streams bf16 from HBM."""
+    def cast(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return jax.tree.map(cast, tree)
+
+
 def _load_torch_state(ckpt_path: str | Path, key: str | None = None) -> dict[str, np.ndarray]:
     import torch
 
@@ -89,6 +101,15 @@ class TacoGFN_Proxy(BaseProxy):
 
     @functools.partial(jax.jit, static_argnames=("self", "num_graphs"))
     def _apply_affinity(self, pocket, token, arrays7, num_graphs):
+        if self.precision == "bfloat16":
+            params, pocket, token, arrays7 = _cast_floating(
+                (self.params, pocket, token, arrays7), jnp.bfloat16
+            )
+            out = self.model.apply(
+                params, pocket, token, (*arrays7, num_graphs),
+                method="calculate_affinity",
+            )
+            return jax.tree.map(lambda a: a.astype(jnp.float32), out)
         with jax.default_matmul_precision(self.precision):
             return self.model.apply(
                 self.params, pocket, token, (*arrays7, num_graphs),
@@ -170,6 +191,22 @@ class SBDDReward_Proxy(BaseProxy):
         jax.jit, static_argnames=("self", "num_graphs", "return_sigma")
     )
     def _apply_scoring(self, cache, arrays7, num_graphs, return_sigma):
+        if self.precision == "bfloat16":
+            # True bf16 COMPUTE dtype, not just MXU pass precision: the
+            # flat ComplexFormer forward is HBM-bound (PERF_NOTES round-3
+            # proxy split), so the lever is halving the bytes streamed —
+            # params and activations in bf16 — which
+            # default_matmul_precision alone cannot do. Scores deviate
+            # (bf16 has ~8 mantissa bits); measured on the real chip in
+            # probe_proxy_split.py and CI-bounded in test_proxy.py.
+            params, cache, arrays7 = _cast_floating(
+                (self.params, cache, arrays7), jnp.bfloat16
+            )
+            out = self.model.apply(
+                params, cache, (*arrays7, num_graphs), return_sigma,
+                method="scoring",
+            )
+            return jax.tree.map(lambda a: a.astype(jnp.float32), out)
         with jax.default_matmul_precision(self.precision):
             return self.model.apply(
                 self.params, cache, (*arrays7, num_graphs), return_sigma,

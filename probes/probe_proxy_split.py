@@ -164,4 +164,46 @@ for _ in range(7):
 t_gnn_tf = statistics.median(est)
 print(f"tf32 device GNN marginal: {t_gnn_tf * 1e3:.1f} ms/batch "
       f"-> {B / t_gnn_tf:,.0f} mol/s/chip ({t_gnn / t_gnn_tf:.2f}x)", flush=True)
+
+# bfloat16 compute dtype: params + activations cast inside the trace —
+# the lever that actually fits the HBM-bound regime (halves bytes
+# streamed), unlike tf32 which only lowers MXU pass precision
+proxy_bf = SBDDReward_Proxy(precision="bfloat16")
+proxy_bf.params = proxy.params
+s_bf = np.asarray(proxy_bf._scoring_list(cache, smiles))
+dev_bf = np.abs(s_bf - s_f32)
+print(f"bf16 score deviation: max abs {dev_bf.max():.2e} mean {dev_bf.mean():.2e} "
+      f"(scores span [{s_f32.min():.2f}, {s_f32.max():.2f}])", flush=True)
+t_full_bf = med(lambda: float(np.sum(proxy_bf._scoring_list(cache, smiles))))
+print(f"bf16 full _scoring_list: {t_full_bf * 1e3:.1f} ms/batch "
+      f"-> {B / t_full_bf:,.0f} mol/s ({t_full / t_full_bf:.2f}x)", flush=True)
+
+
+def make_bf(k):
+    @jax.jit
+    def f(dargs):
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            a = (dargs[0] + jnp.float32(i) * 1e-6,) + dargs[1:]
+            acc = acc + jnp.sum(proxy_bf._apply_scoring.__wrapped__(
+                proxy_bf, dev_cache, a, batch.num_graphs, False))
+        return acc
+
+    return f
+
+
+f2, f8 = make_bf(2), make_bf(8)
+float(f2(dev_arrays)), float(f8(dev_arrays))
+est = []
+for _ in range(7):
+    t0 = time.time()
+    float(f2(dev_arrays))
+    t2 = time.time() - t0
+    t0 = time.time()
+    float(f8(dev_arrays))
+    t8 = time.time() - t0
+    est.append(max((t8 - t2) / 6, 1e-9))
+t_gnn_bf = statistics.median(est)
+print(f"bf16 device GNN marginal: {t_gnn_bf * 1e3:.1f} ms/batch "
+      f"-> {B / t_gnn_bf:,.0f} mol/s/chip ({t_gnn / t_gnn_bf:.2f}x)", flush=True)
 print("done", flush=True)

@@ -105,6 +105,17 @@ def test_sbdd_proxy_precision_opt_in(fake_features):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
     with pytest.raises(AssertionError):
         SBDDReward_Proxy(precision="float16")
+    # bfloat16 is a true compute-dtype opt-in (params + activations cast
+    # inside the trace): scores land within bf16's ~8-mantissa-bit budget
+    # of the f32 path and come back as float32
+    bf = SBDDReward_Proxy(precision="bfloat16")
+    bf.params = proxy.params
+    got_bf = bf._scoring_list(cache, ["c1ccccc1", "CCO"])
+    assert got_bf.dtype == np.float32
+    np.testing.assert_allclose(got_bf, want, rtol=5e-2, atol=0.3)
+    # the affine tail mu + sigma*std keeps scores in the reference's
+    # score regime even at bf16
+    assert np.isfinite(got_bf).all()
 
 
 def test_sigma_statistics(fake_features):
