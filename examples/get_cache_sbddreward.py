@@ -14,6 +14,10 @@ if __name__ == "__main__":
             "/root/reference/examples/6OIM_D_MOV.pdb",
         ),
     }
+    # serial build; for many pockets fan over the device mesh instead:
+    #   from pharmaconet_tpu.parallel.proxy import ShardedCacheBuilder
+    #   cache_database = ShardedCacheBuilder(proxy).get_cache_database(
+    #       pocket_info, save_path="./cache_db.pkl")
     cache_database = proxy.get_cache_database(pocket_info, save_path="./cache_db.pkl")
     proxy.update_cache(cache_database)
     mu, std = proxy.get_statistic("6OIM_A")

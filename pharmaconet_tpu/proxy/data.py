@@ -206,6 +206,8 @@ def batch_graphs(
     graphs: list[LigandGraphArrays],
     pad_multiple: int = 128,
     num_graphs_pad: int | None = None,
+    num_atoms_pad: int | None = None,
+    num_edges_pad: int | None = None,
 ) -> GraphBatch:
     """num_graphs_pad pads the GRAPH axis (fake empty graphs beyond the real
     ones): segment ops see empty segments, dense batching gives them empty
@@ -213,7 +215,11 @@ def batch_graphs(
     half_octave atom/edge padding this keeps the per-call compiled-shape
     signature (num_graphs, Vp, Ep) to a handful of buckets instead of one
     program per distinct batch composition (an RL loop scoring variable
-    batches would otherwise recompile nearly every call)."""
+    batches would otherwise recompile nearly every call).
+
+    num_atoms_pad / num_edges_pad raise the atom/edge padding beyond the
+    pad_multiple round-up — mesh sharding uses this to give every device
+    shard identical array shapes (parallel/proxy.py)."""
     ng = num_graphs_pad if num_graphs_pad is not None else len(graphs)
     assert ng >= len(graphs)
     n = len(graphs)
@@ -223,6 +229,12 @@ def batch_graphs(
     total_e = int(e_counts.sum())
     vp = _round_up(total_v, pad_multiple)
     ep = _round_up(max(total_e, 1), pad_multiple)
+    if num_atoms_pad is not None:
+        assert num_atoms_pad >= total_v
+        vp = max(vp, int(num_atoms_pad))
+    if num_edges_pad is not None:
+        assert num_edges_pad >= total_e
+        ep = max(ep, int(num_edges_pad))
     v_starts = np.zeros(n, np.int64)
     np.cumsum(v_counts[:-1], out=v_starts[1:])
 

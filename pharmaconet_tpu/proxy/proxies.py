@@ -99,8 +99,40 @@ class TacoGFN_Proxy(BaseProxy):
         )
         return np.asarray(out)[: len(smiles_list)]
 
+    # sharded-scoring hooks (parallel/proxy.py)
+    _graph_categorical = True
+    _invalid_smiles = "raise"
+
+    def _cache_device_parts(self, pyramid, token_features, keep, token_positions):
+        """Device-side cache computation on the PADDED token axis — pure,
+        traced inside the mesh cache builder's per-pocket program
+        (parallel/proxy.py). The masked summary makes the result equal to
+        the exact path on the kept subset."""
+        del token_positions  # TacoGFN caches carry no positions
+        pocket, token = self.model.apply(
+            self.params, list(pyramid), token_features, keep,
+            method="ready_to_calculate_masked",
+        )
+        return {"pocket": pocket, "token": token}
+
+    def _cache_from_parts(self, parts, token_positions, keep_idx) -> Cache:
+        del token_positions
+        return (
+            np.asarray(parts["pocket"]),
+            np.asarray(parts["token"])[keep_idx],
+        )
+
+    def _score_forward(self, cache, arrays7, num_graphs):
+        """Pure scoring forward on a (pocket, token) device cache — jitted by
+        callers (_apply_affinity; parallel/proxy.py's mesh-sharded program)."""
+        pocket, token = cache
+        return self._affinity_forward(pocket, token, arrays7, num_graphs)
+
     @functools.partial(jax.jit, static_argnames=("self", "num_graphs"))
     def _apply_affinity(self, pocket, token, arrays7, num_graphs):
+        return self._affinity_forward(pocket, token, arrays7, num_graphs)
+
+    def _affinity_forward(self, pocket, token, arrays7, num_graphs):
         if self.precision == "bfloat16":
             params, pocket, token, arrays7 = _cast_floating(
                 (self.params, pocket, token, arrays7), jnp.bfloat16
@@ -187,10 +219,42 @@ class SBDDReward_Proxy(BaseProxy):
         result[np.asarray(flags)] = scores
         return result
 
+    # sharded-scoring hooks (parallel/proxy.py)
+    _graph_categorical = False
+    _invalid_smiles = "zero"
+
+    def _cache_device_parts(self, pyramid, token_features, keep, token_positions):
+        """Device-side cache computation on the PADDED token axis — pure,
+        traced inside the mesh cache builder's per-pocket program
+        (parallel/proxy.py). The hotspot MLP is per-row independent and the
+        pocket vector depends only on the pyramid, so no masking is needed:
+        the caller selects the kept rows of x host-side."""
+        del keep
+        x, _, z, mu, std = self.model.apply(
+            self.params, list(pyramid), token_features, token_positions,
+            method="get_cache",
+        )
+        return {"x": x, "z": z, "mu": mu, "std": std}
+
+    def _cache_from_parts(self, parts, token_positions, keep_idx) -> Cache:
+        return (
+            np.asarray(parts["x"])[keep_idx],
+            np.asarray(token_positions, dtype=np.float32)[keep_idx],
+            np.asarray(parts["z"]),
+            float(parts["mu"]),
+            float(parts["std"]),
+        )
+
     @functools.partial(
         jax.jit, static_argnames=("self", "num_graphs", "return_sigma")
     )
     def _apply_scoring(self, cache, arrays7, num_graphs, return_sigma):
+        return self._score_forward(cache, arrays7, num_graphs, return_sigma)
+
+    def _score_forward(self, cache, arrays7, num_graphs, return_sigma):
+        """Precision-dispatched scoring forward — pure, jitted by callers
+        (_apply_scoring above; parallel/proxy.py wraps it in a
+        mesh-sharded program)."""
         if self.precision == "bfloat16":
             # True bf16 COMPUTE dtype, not just MXU pass precision: the
             # flat ComplexFormer forward is HBM-bound (PERF_NOTES round-3

@@ -72,6 +72,30 @@ class TacoAffinityHead(nn.Module):
         pocket = self.concat_layer(concat) * jax.nn.sigmoid(self.concat_gate(concat))
         return pocket, token
 
+    def ready_to_calculate_masked(self, multi_scale_features, hotspot_features, valid):
+        """`ready_to_calculate` on a PADDED hotspot axis: hotspot_features is
+        [T, 192] for all candidate tokens and `valid` [T] marks the kept ones.
+        The token summary sums/means over valid rows only, so the result
+        equals the exact path on the kept subset (callers select the valid
+        token rows host-side). This is the shard_map-friendly form used by
+        the mesh cache builder (parallel/proxy.py) — static shapes, no
+        boolean gather on device."""
+        bottom_up = multi_scale_features[::-1]
+        pooled = []
+        for conv, feature in zip(self.pocket_convs, bottom_up):
+            h = conv(jax.nn.silu(feature))
+            pooled.append(jnp.mean(h, axis=(1, 2, 3))[0])
+        pocket = self.pocket_mlp(jax.nn.silu(jnp.concatenate(pooled, axis=-1)))
+
+        token = self.token_mlp(jax.nn.silu(hotspot_features))  # [T, hidden]
+        w = valid.astype(token.dtype)[:, None]
+        total = (token * w).sum(0)
+        count = jnp.maximum(w.sum(), 1.0)  # count==0 -> zeros, the K=0 branch
+        token_summary = jnp.concatenate([total, total / count])
+        concat = jnp.concatenate([pocket, token_summary], axis=-1)
+        pocket = self.concat_layer(concat) * jax.nn.sigmoid(self.concat_gate(concat))
+        return pocket, token
+
     def calculate_affinity(self, pocket_features, hotspot_features, batch: tuple):
         """pocket_features [hidden]; hotspot_features [K, hidden]; batch =
         (atom_class, atom_graph, atom_valid, edge_src, edge_dst, edge_class,

@@ -162,3 +162,144 @@ def test_sharded_segmenter_matches_single(protein_pdb, ref_ligand_pdb):
         assert a["hotspot_position"] == b["hotspot_position"]
         np.testing.assert_allclose(a["hotspot_score"], b["hotspot_score"], atol=1e-5)
         np.testing.assert_allclose(a["point_map"], b["point_map"], atol=1e-4)
+
+
+def test_sharded_proxy_matches_single():
+    """ShardedProxyScorer over the 8-device mesh equals the proxy's
+    single-device _scoring_list (padding differs per shard, so equality is
+    float-associativity-tolerant), including invalid-SMILES masking and the
+    small-batch fallback."""
+    import jax.numpy as jnp
+    from pharmaconet_tpu.parallel.proxy import ShardedProxyScorer
+    from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy
+
+    rng = np.random.default_rng(3)
+    features = [
+        jnp.asarray(rng.normal(0, 1, (1, d, d, d, 96)).astype(np.float32))
+        for d in (4, 8, 16, 32, 64)
+    ]
+    hotspot_infos = [
+        {
+            "hotspot_feature": rng.normal(0, 1, 192).astype(np.float32),
+            "hotspot_position": tuple(rng.uniform(-5, 5, 3).tolist()),
+        }
+        for _ in range(5)
+    ]
+    proxy = SBDDReward_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+
+    pool = ["c1ccccc1O", "CCO", "CC(=O)O", "c1ccncc1", "CCN(CC)CC",
+            "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "O=C(C)Oc1ccccc1C(=O)O"]
+    smiles = [pool[i % len(pool)] for i in range(37)]
+    smiles[5] = "not_a_smiles("  # invalid -> masked to 0.0
+
+    sharded = ShardedProxyScorer(proxy, mesh=data_mesh())
+    got = sharded._scoring_list(cache, smiles)
+    want = proxy._scoring_list(cache, smiles)
+    assert got[5] == 0.0
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # sigma path
+    got_s = sharded._scoring_list(cache, smiles, return_sigma=True)
+    want_s = proxy._scoring_list(cache, smiles, return_sigma=True)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-5)
+
+    # small batch -> single-device fallback, same contract
+    got_small = sharded._scoring_list(cache, smiles[:3])
+    want_small = proxy._scoring_list(cache, smiles[:3])
+    np.testing.assert_allclose(got_small, want_small, rtol=1e-6)
+
+
+def test_sharded_proxy_tacogfn():
+    """The sharded scorer also wraps TacoGFN proxies (different cache
+    structure, categorical features, raise-on-invalid contract)."""
+    import jax.numpy as jnp
+    import pytest
+    from pharmaconet_tpu.parallel.proxy import ShardedProxyScorer
+    from pharmaconet_tpu.proxy.proxies import TacoGFN_Proxy
+
+    rng = np.random.default_rng(7)
+    features = [
+        jnp.asarray(rng.normal(0, 1, (1, d, d, d, 96)).astype(np.float32))
+        for d in (4, 8, 16, 32, 64)
+    ]
+    hotspot_infos = [
+        {
+            "hotspot_feature": rng.normal(0, 1, 192).astype(np.float32),
+            "hotspot_position": tuple(rng.uniform(-5, 5, 3).tolist()),
+        }
+        for _ in range(4)
+    ]
+    proxy = TacoGFN_Proxy()
+    proxy._init_random()
+    cache = proxy._get_cache(features, hotspot_infos)
+
+    pool = ["c1ccccc1O", "CCO", "CC(=O)O", "c1ccncc1", "CCN(CC)CC"]
+    smiles = [pool[i % len(pool)] for i in range(29)]
+
+    sharded = ShardedProxyScorer(proxy, mesh=data_mesh())
+    got = sharded._scoring_list(cache, smiles)
+    want = proxy._scoring_list(cache, smiles)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # invalid SMILES raises (the TacoGFN contract), sigma is rejected
+    with pytest.raises(ValueError):
+        sharded._scoring_list(cache, smiles[:-1] + ["not_a_smiles("])
+    with pytest.raises(TypeError):
+        sharded._scoring_list(cache, smiles, return_sigma=True)
+
+
+def test_sharded_cache_builder_matches_serial(protein_pdb, ref_ligand_pdb):
+    """The fused trunk+encoder cache builder over the 8-device mesh equals
+    the serial per-pocket get_cache_database for BOTH proxy families,
+    including the tolerant-skip contract for unparseable pockets."""
+    import jax.numpy as jnp
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.parallel.proxy import ShardedCacheBuilder
+    from pharmaconet_tpu.proxy.data import batch_graphs, smi2graph
+    from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy, TacoGFN_Proxy
+    from pharmaconet_tpu.proxy.tacogfn import graph_batch_to_arrays
+
+    pmnet = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False, max_hotspots=8,
+        segmentation_chunk=4, grid_dim=16,
+        model_kwargs=dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2),
+                          window=2, token_feature_dim=16),
+    )
+    pmnet.focus_threshold = 0.0  # random weights: keep the cavity gates open
+    center = np.asarray(pmnet.get_center(ref_ligand_pdb))
+    pocket_info = {
+        "p0": (protein_pdb, ref_ligand_pdb),
+        "p1": (protein_pdb, tuple(center + 1.0)),
+        "bad": ("/nonexistent/protein.pdb", (0.0, 0.0, 0.0)),
+    }
+
+    features, _ = pmnet.feature_extraction(protein_pdb, ref_ligand_pdb)
+    feats = [jnp.asarray(f) for f in features]
+    for cls in (SBDDReward_Proxy, TacoGFN_Proxy):
+        proxy = cls()
+        proxy.pmnet = pmnet
+        graphs = [smi2graph("CCO")]
+        if cls is SBDDReward_Proxy:
+            batch = graph_batch_to_arrays(
+                batch_graphs(graphs, pad_multiple=8), categorical=False)
+            proxy.params = proxy.model.init(
+                jax.random.PRNGKey(0), feats, jnp.zeros((2, 16)),
+                jnp.zeros((2, 3)), batch)
+        else:
+            batch = graph_batch_to_arrays(
+                batch_graphs(graphs, pad_multiple=8), categorical=True)
+            proxy.params = proxy.model.init(
+                jax.random.PRNGKey(0), feats, jnp.zeros((2, 16)), batch)
+
+        serial = proxy.get_cache_database(dict(pocket_info), verbose=False)
+        sharded = ShardedCacheBuilder(proxy, mesh=data_mesh()).get_cache_database(
+            dict(pocket_info), verbose=False)
+        assert set(serial) == set(sharded) == {"p0", "p1"}
+        for key in serial:
+            assert len(serial[key]) == len(sharded[key])
+            for a, b in zip(serial[key], sharded[key]):
+                a, b = np.asarray(a), np.asarray(b)
+                assert a.shape == b.shape
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
