@@ -53,23 +53,71 @@ class ShardedProxyScorer:
     def scoring_list(self, target: str, smiles_list, return_sigma: bool = False):
         return self._scoring_list(self.proxy._cache[target], smiles_list, return_sigma)
 
+    def scoring_iter(
+        self,
+        target: str,
+        smiles_iter,
+        batch_size: int = 2048,
+        return_sigma: bool = False,
+    ):
+        """Stream scores for a long SMILES sequence in fixed-size batches,
+        yielding one np.ndarray per batch. Host featurization of batch i+1
+        runs on a worker thread while batch i's device program executes —
+        the serving-loop overlap that scoring_list (one synchronous batch
+        per call, like the reference RL loop) cannot express."""
+        import itertools
+        from concurrent.futures import ThreadPoolExecutor
+
+        if return_sigma and not self._has_sigma:
+            raise TypeError(f"{type(self.proxy).__name__} has no sigma head")
+        cache = self.proxy._cache[target]
+        dev_cache = self._dev_cache(cache)
+        it = iter(smiles_iter)
+
+        def take():
+            return list(itertools.islice(it, batch_size)) or None
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            batch = take()
+            if batch is None:
+                return
+            fut = pool.submit(self._prepare, batch)
+            while True:
+                nxt = take()
+                nxt_fut = pool.submit(self._prepare, nxt) if nxt is not None else None
+                yield self._finish(dev_cache, cache, batch, fut.result(), return_sigma)
+                if nxt_fut is None:
+                    return
+                batch, fut = nxt, nxt_fut
+
     def _scoring_list(self, cache, smiles_list, return_sigma: bool = False) -> np.ndarray:
         if return_sigma and not self._has_sigma:
             raise TypeError(f"{type(self.proxy).__name__} has no sigma head")
+        smiles_list = list(smiles_list)
+        prep = self._prepare(smiles_list)
+        return self._finish(self._dev_cache(cache), cache, smiles_list, prep, return_sigma)
+
+    @staticmethod
+    def _dev_cache(cache):
+        # device-array leaves traced, scalar stats (mu/std) static per target
+        return tuple(
+            float(c) if isinstance(c, float) else jnp.asarray(c) for c in cache
+        )
+
+    def _prepare(self, smiles_list: list) -> dict:
+        """Host phase: featurize + shard + pad + stack (thread-safe, no jax
+        dispatch). Returns the kwargs _finish needs."""
         n_dev = int(self.mesh.devices.size)
-        maybe = smi2graph_list(list(smiles_list))
+        maybe = smi2graph_list(smiles_list)
         graphs = [g for g in maybe if g is not None]
         flags = [g is not None for g in maybe]
         if len(graphs) != len(smiles_list) and self.proxy._invalid_smiles == "raise":
             bad = next(i for i, g in enumerate(maybe) if g is None)
             raise ValueError(f"unparseable SMILES: {smiles_list[bad]!r}")
         if not any(flags):
-            return np.zeros(len(smiles_list), dtype=np.float32)
+            return {"zeros": True}
         if len(graphs) < 2 * n_dev:
-            # too few molecules to shard — single-device path
-            if self._has_sigma:
-                return self.proxy._scoring_list(cache, list(smiles_list), return_sigma)
-            return self.proxy._scoring_list(cache, list(smiles_list))
+            return {"fallback": True}
 
         # contiguous shards; identical shapes across devices so the stacked
         # leading axis shards evenly
@@ -90,15 +138,29 @@ class ShardedProxyScorer:
             for s in shards
         ]
         stacked = tuple(
-            jnp.stack([np.asarray(a[i]) for a in arrays]) for i in range(7)
+            np.stack([np.asarray(a[i]) for a in arrays]) for i in range(7)
         )
-        # device-array leaves traced, scalar stats (mu/std) static per target
-        dev_cache = tuple(
-            float(c) if isinstance(c, float) else jnp.asarray(c) for c in cache
-        )
-        out = np.asarray(self._program(ng, return_sigma)(dev_cache, stacked))
+        return {
+            "stacked": stacked,
+            "shard_lens": [len(s) for s in shards],
+            "flags": flags,
+            "ng": ng,
+        }
+
+    def _finish(self, dev_cache, cache, smiles_list, prep, return_sigma) -> np.ndarray:
+        """Device phase + score reassembly for one prepared batch."""
+        if prep.get("zeros"):
+            return np.zeros(len(smiles_list), dtype=np.float32)
+        if prep.get("fallback"):
+            # too few molecules to shard — single-device path
+            if self._has_sigma:
+                return self.proxy._scoring_list(cache, smiles_list, return_sigma)
+            return self.proxy._scoring_list(cache, smiles_list)
+        stacked = tuple(jnp.asarray(a) for a in prep["stacked"])
+        out = np.asarray(self._program(prep["ng"], return_sigma)(dev_cache, stacked))
+        flags = prep["flags"]
         scores = np.concatenate(
-            [out[i, : len(s)] for i, s in enumerate(shards)]
+            [out[i, :n] for i, n in enumerate(prep["shard_lens"])]
         ).astype(np.float32)
         if all(flags):
             return scores

@@ -210,6 +210,13 @@ def test_sharded_proxy_matches_single():
     want_small = proxy._scoring_list(cache, smiles[:3])
     np.testing.assert_allclose(got_small, want_small, rtol=1e-6)
 
+    # streaming iterator (prefetch overlap) == per-batch scoring_list,
+    # including the trailing sub-2*n_dev batch that takes the fallback
+    proxy.put_cache("t", cache)
+    chunks = list(sharded.scoring_iter("t", iter(smiles), batch_size=16))
+    assert [len(c) for c in chunks] == [16, 16, 5]
+    np.testing.assert_allclose(np.concatenate(chunks), want, rtol=1e-4, atol=1e-5)
+
 
 def test_sharded_proxy_tacogfn():
     """The sharded scorer also wraps TacoGFN proxies (different cache
