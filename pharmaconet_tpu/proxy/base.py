@@ -56,6 +56,7 @@ class BaseProxy:
         (measured on the real chip, PERF_NOTES round-3)."""
         assert precision in ("float32", "tensorfloat32", "bfloat16")
         self.pmnet = None  # lazy (base/proxy.py:44, 269-274)
+        self._cache_parts_jit = None  # lazy jit of _cache_device_parts
         self._cache: dict[str, Cache] = {}
         self._pmnet_kwargs = pmnet_kwargs or {}
         self.precision = precision
@@ -148,15 +149,49 @@ class BaseProxy:
         protein_pdb_path: str | Path,
         ref_ligand_path: str | Path | None = None,
         center=None,
+        fused: bool = True,
     ) -> Cache:
+        """Target cache for one pocket (base/proxy.py:190-205).
+
+        fused=True (default) keeps the PharmacoNet trunk outputs device-
+        resident and runs the pocket encoder on them directly — the
+        ~100 MB multi-scale pyramid never crosses to the host. fused=False
+        is the reference-shaped two-step path (feature_extraction to host
+        numpy, then `_get_cache`); both are equality-tested."""
         import jax
+        import jax.numpy as jnp
 
         self.setup_pmnet()
-        features, hotspot_infos = self.pmnet.feature_extraction(
-            protein_pdb_path, ref_ligand_path, center
-        )
+        # subclasses without the device hooks fall back to the two-step path
+        if not fused or not hasattr(self, "_cache_device_parts"):
+            features, hotspot_infos = self.pmnet.feature_extraction(
+                protein_pdb_path, ref_ligand_path, center
+            )
+            with jax.default_matmul_precision("float32"):
+                return self._get_cache(features, hotspot_infos)
+
+        data = self.pmnet.parse(protein_pdb_path, ref_ligand_path, center)
+        out = self.pmnet.run_trunk(data)
+        tpos = np.asarray(data.token_positions, np.float32)
         with jax.default_matmul_precision("float32"):
-            return self._get_cache(features, hotspot_infos)
+            parts = self._apply_cache_parts(
+                tuple(out["pyramid"]), out["token_features"], out["keep"],
+                jnp.asarray(tpos),
+            )
+        keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
+        parts = {k: np.asarray(v) for k, v in parts.items()}
+        return self._cache_from_parts(parts, tpos, keep_idx)
+
+    def _apply_cache_parts(self, pyramid, token_features, keep, token_positions):
+        import functools
+
+        import jax
+
+        if self._cache_parts_jit is None:
+            self._cache_parts_jit = functools.partial(
+                jax.jit, static_argnums=(0,)
+            )(type(self)._cache_device_parts)
+        return self._cache_parts_jit(self, pyramid, token_features, keep, token_positions)
 
     def get_cache_database(
         self,

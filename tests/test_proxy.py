@@ -163,3 +163,47 @@ def test_scoring_batch_size_bucketing(fake_features):
     s3 = proxy._scoring_list(cache, smiles[:3])
     one = np.concatenate([proxy._scoring_list(cache, [s]) for s in smiles[:3]])
     np.testing.assert_allclose(s3, one, rtol=2e-4, atol=1e-5)
+
+
+def test_get_cache_fused_matches_unfused(protein_pdb, ref_ligand_pdb):
+    """get_cache(fused=True) keeps the pyramid device-resident; it must
+    equal the reference-shaped two-step path (feature_extraction ->
+    _get_cache) for both proxy families."""
+    import jax
+    import jax.numpy as jnp
+
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.proxy.data import batch_graphs, smi2graph
+    from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy, TacoGFN_Proxy
+    from pharmaconet_tpu.proxy.tacogfn import graph_batch_to_arrays
+
+    pmnet = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False, max_hotspots=8,
+        segmentation_chunk=4, grid_dim=16,
+        model_kwargs=dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2),
+                          window=2, token_feature_dim=16),
+    )
+    pmnet.focus_threshold = 0.0
+    features, _ = pmnet.feature_extraction(protein_pdb, ref_ligand_pdb)
+    feats = [jnp.asarray(f) for f in features]
+    for cls in (SBDDReward_Proxy, TacoGFN_Proxy):
+        proxy = cls()
+        proxy.pmnet = pmnet
+        graphs = [smi2graph("CCO")]
+        cat = cls is TacoGFN_Proxy
+        batch = graph_batch_to_arrays(
+            batch_graphs(graphs, pad_multiple=8), categorical=cat)
+        if cat:
+            proxy.params = proxy.model.init(
+                jax.random.PRNGKey(0), feats, jnp.zeros((2, 16)), batch)
+        else:
+            proxy.params = proxy.model.init(
+                jax.random.PRNGKey(0), feats, jnp.zeros((2, 16)),
+                jnp.zeros((2, 3)), batch)
+        fused = proxy.get_cache(protein_pdb, ref_ligand_pdb)
+        two_step = proxy.get_cache(protein_pdb, ref_ligand_pdb, fused=False)
+        assert len(fused) == len(two_step)
+        for a, b in zip(fused, two_step):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
