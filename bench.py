@@ -329,34 +329,74 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     return batch_size / per_batch
 
 
+def _ensure_device_responsive():
+    """Probe jax backend init in a subprocess with a timeout and fall back
+    to CPU if it hangs, so the bench always emits its JSON line. The axon
+    TPU relay has been observed to hang `jax.devices()` indefinitely
+    (>2 h outage); a hung bench leaves the driver with no artifact at all,
+    which is strictly worse than a CPU-labelled number."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return None
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, timeout=240,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return None
+    except Exception:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        print(
+            "WARNING: device backend probe hung/failed; falling back to CPU "
+            "(numbers not representative of TPU)", file=sys.stderr,
+        )
+        return "cpu-fallback"
+
+
 def main():
     import os
 
+    fallback = _ensure_device_responsive()
+
     import jax
+
+    if fallback:
+        # the axon sitecustomize force-registers the relay platform and
+        # sets jax_platforms="axon,cpu" regardless of the environment —
+        # re-pin (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
 
     from pharmaconet_tpu.scoring.batch_screen import BatchScreener, build_batch
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
+    def emit(d):
+        if fallback:
+            d["platform"] = fallback
+        print(json.dumps(d))
+
     mode = os.environ.get("BENCH_MODE", "kernel")
     if mode == "proxy":
         value = bench_proxy(batch_size, max(3, iters // 2))
-        print(json.dumps({
+        emit({
             "metric": "proxy_inference_throughput", "value": round(value, 1),
             "unit": "molecules/sec/chip",
             # BASELINE.json defines no numeric target for proxy inference
             # (config #5); the 100k/s target applies to screening only
             "vs_baseline": None,
-        }))
+        })
         return
     if mode == "stored":
         value = bench_stored_pipeline(batch_size, max(3, iters // 2))
-        print(json.dumps({
+        emit({
             "metric": "screening_stored_host_throughput", "value": round(value, 1),
             "unit": "ligands/sec/core",
             "vs_baseline": round(value / 100000.0, 3),
-        }))
+        })
         return
     if mode in ("host", "e2e"):
         value = bench_host_pipeline(batch_size, max(3, iters // 2), mode == "e2e")
@@ -364,11 +404,11 @@ def main():
             "screening_host_pipeline_throughput" if mode == "host"
             else "screening_e2e_throughput"
         )
-        print(json.dumps({
+        emit({
             "metric": metric, "value": round(value, 1),
             "unit": "ligands/sec" + ("/core" if mode == "host" else ""),
             "vs_baseline": round(value / 100000.0, 3),
-        }))
+        })
         return
 
     model = make_synthetic_model()
@@ -401,6 +441,8 @@ def main():
     from pharmaconet_tpu.scoring.batch_screen import score_blocks_device
 
     engine = os.environ.get("BENCH_ENGINE", "pallas-dt")
+    if fallback and "BENCH_ENGINE" not in os.environ:
+        engine = "xla"  # pallas interpret mode is hopeless at CPU speeds
     if engine == "pallas-dt":
         # production tile-store device path (screening.py --library_tiles):
         # conformer distances precomputed at prepack time, kernel skips the
@@ -498,15 +540,13 @@ def main():
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "graph_match_screening_throughput",
-                "value": round(throughput, 1),
-                "unit": "ligands/sec/chip",
-                "vs_baseline": round(throughput / 100000.0, 3),
-            }
-        )
+    emit(
+        {
+            "metric": "graph_match_screening_throughput",
+            "value": round(throughput, 1),
+            "unit": "ligands/sec/chip",
+            "vs_baseline": round(throughput / 100000.0, 3),
+        }
     )
 
 
