@@ -21,19 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..proxy.data import batch_graphs, half_octave, smi2graph_list
-from ..proxy.tacogfn import graph_batch_to_arrays
+from ..proxy.data import _round_up, batch_graphs, half_octave, smi2graph_list
 from .mesh import DATA_AXIS, data_mesh
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((max(n, 1) + m - 1) // m) * m
+from .modeling import _pad_axis0
 
 
 class ShardedProxyScorer:
     """Fan a proxy's scoring batch over a device mesh.
 
-    Wraps any proxy exposing the `_score_forward` / `_scoring_list` /
+    Wraps any proxy exposing the `_score_forward` / `_score_graphs` /
     `_cache` hooks (both SBDDReward_Proxy and TacoGFN_Proxy do). The
     wrapped proxy's invalid-SMILES contract is preserved: SBDDReward masks
     invalid entries to 0.0, TacoGFN raises. Falls back to the proxy's
@@ -105,8 +101,10 @@ class ShardedProxyScorer:
         )
 
     def _prepare(self, smiles_list: list) -> dict:
-        """Host phase: featurize + shard + pad + stack (thread-safe, no jax
-        dispatch). Returns the kwargs _finish needs."""
+        """Host phase: featurize + shard + pad + stack. Pure numpy — no jax
+        dispatch, so it is safe (and contention-free) on the prefetch
+        worker thread while the main thread's device program runs. Returns
+        the kwargs _finish needs."""
         n_dev = int(self.mesh.devices.size)
         maybe = smi2graph_list(smiles_list)
         graphs = [g for g in maybe if g is not None]
@@ -117,7 +115,9 @@ class ShardedProxyScorer:
         if not any(flags):
             return {"zeros": True}
         if len(graphs) < 2 * n_dev:
-            return {"fallback": True}
+            # too few molecules to shard — hand the already-featurized
+            # graphs to the proxy's single-device path
+            return {"fallback": True, "graphs": graphs, "flags": flags}
 
         # contiguous shards; identical shapes across devices so the stacked
         # leading axis shards evenly
@@ -130,16 +130,16 @@ class ShardedProxyScorer:
         ep = _round_up(
             half_octave(max(sum(len(g.edge_src) for g in s) for s in shards), 128), 128
         )
-        arrays = [
-            graph_batch_to_arrays(
-                batch_graphs(s, num_graphs_pad=ng, num_atoms_pad=vp, num_edges_pad=ep),
-                categorical=self.proxy._graph_categorical,
-            )[:7]
-            for s in shards
-        ]
-        stacked = tuple(
-            np.stack([np.asarray(a[i]) for a in arrays]) for i in range(7)
-        )
+        cat = self.proxy._graph_categorical
+        arrays = []
+        for s in shards:
+            b = batch_graphs(s, num_graphs_pad=ng, num_atoms_pad=vp, num_edges_pad=ep)
+            arrays.append((
+                b.atom_class if cat else b.atom_features,
+                b.atom_graph, b.atom_valid, b.edge_src, b.edge_dst,
+                b.edge_class if cat else b.edge_features, b.edge_valid,
+            ))
+        stacked = tuple(np.stack([a[i] for a in arrays]) for i in range(7))
         return {
             "stacked": stacked,
             "shard_lens": [len(s) for s in shards],
@@ -152,10 +152,11 @@ class ShardedProxyScorer:
         if prep.get("zeros"):
             return np.zeros(len(smiles_list), dtype=np.float32)
         if prep.get("fallback"):
-            # too few molecules to shard — single-device path
             if self._has_sigma:
-                return self.proxy._scoring_list(cache, smiles_list, return_sigma)
-            return self.proxy._scoring_list(cache, smiles_list)
+                return self.proxy._score_graphs(
+                    cache, prep["graphs"], prep["flags"], return_sigma
+                )
+            return self.proxy._score_graphs(cache, prep["graphs"], prep["flags"])
         stacked = tuple(jnp.asarray(a) for a in prep["stacked"])
         out = np.asarray(self._program(prep["ng"], return_sigma)(dev_cache, stacked))
         flags = prep["flags"]
@@ -237,7 +238,7 @@ class ShardedCacheBuilder:
         pmnet = proxy.pmnet
 
         def one_pocket(args):
-            ap, af, av, tk, tv, center, tpos = args
+            ap, af, av, tk, tv, center = args
             with jax.default_matmul_precision(pmnet.matmul_precision):
                 out = pmnet._device_program_impl(
                     ap, af, av, tk, tv, center, with_segmentation=False
@@ -245,7 +246,7 @@ class ShardedCacheBuilder:
             # the serial path runs the encoder under f32 (base.get_cache)
             with jax.default_matmul_precision("float32"):
                 parts = proxy._cache_device_parts(
-                    out["pyramid"], out["token_features"], out["keep"], tpos
+                    out["pyramid"], out["token_features"], out["keep"]
                 )
             parts["keep"] = out["keep"]
             return parts
@@ -256,25 +257,18 @@ class ShardedCacheBuilder:
         spec = P(DATA_AXIS)
         prog = jax.jit(
             jax.shard_map(
-                shard_body, mesh=self.mesh, in_specs=(spec,) * 7, out_specs=spec
+                shard_body, mesh=self.mesh, in_specs=(spec,) * 6, out_specs=spec
             )
         )
         self._compiled[key] = prog
         return prog
 
-    def get_cache_database(
-        self,
-        pocket_info: dict,
-        save_path=None,
-        verbose: bool = True,
-    ) -> dict:
-        """Same contract as BaseProxy.get_cache_database (key ->
-        (protein_pdb_path, ref_ligand_path | center)), pockets sharded over
-        the mesh."""
-        proxy = self.proxy
-        proxy.setup_pmnet()
-        pmnet = proxy.pmnet
-
+    def _parsed_chunks(self, pocket_info: dict, n_dev: int):
+        """Yield (keys, datas) chunks of up to n_dev parsed pockets, lazily:
+        host memory holds one chunk of ProteinData at a time (a 15k-pocket
+        build must not materialize every parsed pocket up front). Parse
+        failures are tolerated per pocket like the reference (log, skip)."""
+        pmnet = self.proxy.pmnet
         keys, datas = [], []
         for key, (pdb_path, pocket_center) in pocket_info.items():
             try:
@@ -284,55 +278,80 @@ class ShardedCacheBuilder:
                     data = pmnet.parse(pdb_path, center=pocket_center)
             except Exception as e:  # noqa: BLE001 - tolerant batch building
                 print(key, e)
-            else:
-                keys.append(key)
-                datas.append(data)
+                continue
+            keys.append(key)
+            datas.append(data)
+            if len(datas) == n_dev:
+                yield keys, datas
+                keys, datas = [], []
+        if datas:
+            yield keys, datas
+
+    def get_cache_database(
+        self,
+        pocket_info: dict,
+        save_path=None,
+        verbose: bool = True,
+    ) -> dict:
+        """Same contract as BaseProxy.get_cache_database (key ->
+        (protein_pdb_path, ref_ligand_path | center)), pockets sharded over
+        the mesh. Parsing of the next chunk runs on a worker thread while
+        the current chunk's device program executes."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        proxy = self.proxy
+        proxy.setup_pmnet()
 
         n_dev = int(self.mesh.devices.size)
         cache_dict: dict = {}
+        progress = None
         if verbose:
             import tqdm
 
-            groups = tqdm.tqdm(range(0, len(datas), n_dev))
-        else:
-            groups = range(0, len(datas), n_dev)
-        for start in groups:
-            chunk = datas[start : start + n_dev]
-            chunk_keys = keys[start : start + n_dev]
-            # half-octave pad buckets bound the compiled-program count over
-            # a long heterogeneous build
-            a_pad = half_octave(max(d.atom_positions.shape[0] for d in chunk))
-            t_pad = half_octave(max(d.tokens.shape[0] for d in chunk))
-
-            def stack(get, pad_to):
-                arrs = [_pad_axis0(np.asarray(get(d)), pad_to) if pad_to else
-                        np.asarray(get(d)) for d in chunk]
-                arrs += [np.zeros_like(arrs[0])] * (n_dev - len(chunk))
-                return jnp.asarray(np.stack(arrs))
-
-            tpos_padded = [
-                _pad_axis0(np.asarray(d.token_positions, np.float32), t_pad)
-                for d in chunk
-            ]
-            batch = (
-                stack(lambda d: d.atom_positions, a_pad),
-                stack(lambda d: d.atom_features, a_pad),
-                stack(lambda d: d.atom_valid, a_pad),
-                stack(lambda d: d.tokens, t_pad),
-                stack(lambda d: d.token_valid, t_pad),
-                stack(lambda d: d.center, None),
-                jnp.asarray(np.stack(
-                    tpos_padded + [np.zeros((t_pad, 3), np.float32)] * (n_dev - len(chunk))
-                )),
-            )
-            out = self._program((a_pad, t_pad))(*batch)
-            out = {k: np.asarray(v) for k, v in out.items()}
-            for i, key in enumerate(chunk_keys):
-                keep_idx = np.nonzero(out["keep"][i])[0]
-                parts = {k: v[i] for k, v in out.items()}
-                cache_dict[key] = proxy._cache_from_parts(
-                    parts, tpos_padded[i], keep_idx
-                )
+            progress = tqdm.tqdm(total=len(pocket_info))
+        chunks = self._parsed_chunks(pocket_info, n_dev)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(next, chunks, None)
+            while True:
+                item = fut.result()
+                if item is None:
+                    break
+                fut = pool.submit(next, chunks, None)
+                chunk_keys, chunk = item
+                self._process_chunk(chunk_keys, chunk, n_dev, cache_dict)
+                if progress is not None:
+                    progress.update(len(chunk_keys))
+        if progress is not None:
+            progress.close()
         if save_path is not None:
             proxy._save_cache_file(cache_dict, save_path)
         return cache_dict
+
+    def _process_chunk(self, chunk_keys, chunk, n_dev, cache_dict) -> None:
+        # half-octave pad buckets bound the compiled-program count over a
+        # long heterogeneous build
+        a_pad = half_octave(max(d.atom_positions.shape[0] for d in chunk))
+        t_pad = half_octave(max(d.tokens.shape[0] for d in chunk))
+
+        def stack(get, pad_to):
+            arrs = [_pad_axis0(np.asarray(get(d)), pad_to) if pad_to else
+                    np.asarray(get(d)) for d in chunk]
+            arrs += [np.zeros_like(arrs[0])] * (n_dev - len(chunk))
+            return jnp.asarray(np.stack(arrs))
+
+        batch = (
+            stack(lambda d: d.atom_positions, a_pad),
+            stack(lambda d: d.atom_features, a_pad),
+            stack(lambda d: d.atom_valid, a_pad),
+            stack(lambda d: d.tokens, t_pad),
+            stack(lambda d: d.token_valid, t_pad),
+            stack(lambda d: d.center, None),
+        )
+        out = self._program((a_pad, t_pad))(*batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for i, key in enumerate(chunk_keys):
+            keep_idx = np.nonzero(out["keep"][i])[0]
+            parts = {k: v[i] for k, v in out.items()}
+            cache_dict[key] = self.proxy._cache_from_parts(
+                parts, np.asarray(chunk[i].token_positions, np.float32), keep_idx
+            )

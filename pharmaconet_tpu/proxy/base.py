@@ -172,17 +172,19 @@ class BaseProxy:
 
         data = self.pmnet.parse(protein_pdb_path, ref_ligand_path, center)
         out = self.pmnet.run_trunk(data)
+        # token_positions stay host-side: the hooks never compute on them
+        # (passing the unbucketed array through jit would retrace per
+        # distinct pocket token count)
         tpos = np.asarray(data.token_positions, np.float32)
         with jax.default_matmul_precision("float32"):
             parts = self._apply_cache_parts(
-                tuple(out["pyramid"]), out["token_features"], out["keep"],
-                jnp.asarray(tpos),
+                tuple(out["pyramid"]), out["token_features"], out["keep"]
             )
         keep_idx = np.nonzero(np.asarray(out["keep"]))[0]
         parts = {k: np.asarray(v) for k, v in parts.items()}
         return self._cache_from_parts(parts, tpos, keep_idx)
 
-    def _apply_cache_parts(self, pyramid, token_features, keep, token_positions):
+    def _apply_cache_parts(self, pyramid, token_features, keep):
         import functools
 
         import jax
@@ -191,7 +193,7 @@ class BaseProxy:
             self._cache_parts_jit = functools.partial(
                 jax.jit, static_argnums=(0,)
             )(type(self)._cache_device_parts)
-        return self._cache_parts_jit(self, pyramid, token_features, keep, token_positions)
+        return self._cache_parts_jit(self, pyramid, token_features, keep)
 
     def get_cache_database(
         self,

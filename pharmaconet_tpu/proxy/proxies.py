@@ -83,13 +83,18 @@ class TacoGFN_Proxy(BaseProxy):
         return (np.asarray(pocket), np.asarray(token))
 
     def _scoring_list(self, cache: Cache, smiles_list: list[str]) -> np.ndarray:
-        pocket, token = cache
         # one-pass C++ featurization (python fallback per molecule inside)
         maybe = smi2graph_list(smiles_list)
         graphs = [g for g in maybe if g is not None]
         if len(graphs) != len(smiles_list):
             bad = next(i for i, g in enumerate(maybe) if g is None)
             raise ValueError(f"unparseable SMILES: {smiles_list[bad]!r}")
+        return self._score_graphs(cache, graphs, [True] * len(graphs))
+
+    def _score_graphs(self, cache, graphs, flags) -> np.ndarray:
+        """Score pre-featurized graphs (also the small-batch fallback of
+        parallel/proxy.py, which reuses its own featurization pass)."""
+        pocket, token = cache
         # bucket graph count + array shapes so variable batch sizes reuse a
         # handful of compiled programs instead of one per composition
         batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
@@ -97,18 +102,23 @@ class TacoGFN_Proxy(BaseProxy):
         out = self._apply_affinity(
             jnp.asarray(pocket), jnp.asarray(token), arrays[:7], batch.num_graphs
         )
-        return np.asarray(out)[: len(smiles_list)]
+        scores = np.asarray(out)[: len(graphs)]
+        if all(flags):
+            return scores
+        result = np.zeros(len(flags), dtype=np.float32)
+        result[np.asarray(flags)] = scores
+        return result
 
     # sharded-scoring hooks (parallel/proxy.py)
     _graph_categorical = True
     _invalid_smiles = "raise"
 
-    def _cache_device_parts(self, pyramid, token_features, keep, token_positions):
+    def _cache_device_parts(self, pyramid, token_features, keep):
         """Device-side cache computation on the PADDED token axis — pure,
         traced inside the mesh cache builder's per-pocket program
         (parallel/proxy.py). The masked summary makes the result equal to
-        the exact path on the kept subset."""
-        del token_positions  # TacoGFN caches carry no positions
+        the exact path on the kept subset. (TacoGFN caches carry no
+        positions, so none are taken.)"""
         pocket, token = self.model.apply(
             self.params, list(pyramid), token_features, keep,
             method="ready_to_calculate_masked",
@@ -205,6 +215,11 @@ class SBDDReward_Proxy(BaseProxy):
         flags = [g is not None for g in maybe]
         if not any(flags):
             return np.zeros(len(smiles_list), dtype=np.float32)
+        return self._score_graphs(cache, graphs, flags, return_sigma)
+
+    def _score_graphs(self, cache, graphs, flags, return_sigma: bool = False) -> np.ndarray:
+        """Score pre-featurized graphs (also the small-batch fallback of
+        parallel/proxy.py, which reuses its own featurization pass)."""
         batch = batch_graphs(graphs, num_graphs_pad=half_octave(len(graphs)))
         arrays = graph_batch_to_arrays(batch, categorical=False)
         x, pos, z = jnp.asarray(cache[0]), jnp.asarray(cache[1]), jnp.asarray(cache[2])
@@ -215,7 +230,7 @@ class SBDDReward_Proxy(BaseProxy):
         )[: len(graphs)]
         if all(flags):
             return scores
-        result = np.zeros(len(smiles_list), dtype=np.float32)
+        result = np.zeros(len(flags), dtype=np.float32)
         result[np.asarray(flags)] = scores
         return result
 
@@ -223,15 +238,18 @@ class SBDDReward_Proxy(BaseProxy):
     _graph_categorical = False
     _invalid_smiles = "zero"
 
-    def _cache_device_parts(self, pyramid, token_features, keep, token_positions):
+    def _cache_device_parts(self, pyramid, token_features, keep):
         """Device-side cache computation on the PADDED token axis — pure,
         traced inside the mesh cache builder's per-pocket program
         (parallel/proxy.py). The hotspot MLP is per-row independent and the
         pocket vector depends only on the pyramid, so no masking is needed:
-        the caller selects the kept rows of x host-side."""
+        the caller selects the kept rows of x host-side. Positions stay on
+        the host (get_cache passes them through untouched, so tracing them
+        would only add a retrace axis — see base.get_cache)."""
         del keep
         x, _, z, mu, std = self.model.apply(
-            self.params, list(pyramid), token_features, token_positions,
+            self.params, list(pyramid), token_features,
+            jnp.zeros((token_features.shape[0], 3), token_features.dtype),
             method="get_cache",
         )
         return {"x": x, "z": z, "mu": mu, "std": std}
