@@ -20,10 +20,16 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # honor an explicit CPU request: the axon sitecustomize force-registers
+    # the relay platform regardless of the environment (see tests/conftest)
+    jax.config.update("jax_platforms", "cpu")
 
 from bench import _SMILES_POOL
 
@@ -32,12 +38,15 @@ from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 NB = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-print(f"device: {jax.devices()[0]} batch={B} x {NB}", flush=True)
+# PROBE_TINY=1: CPU smoke of the script itself (tiny pocket encoder); the
+# real measurement uses the production 4..64^3 pyramid on the chip
+dims = (4, 4, 4, 8, 8) if os.environ.get("PROBE_TINY") else (4, 8, 16, 32, 64)
+print(f"device: {jax.devices()[0]} batch={B} x {NB} dims={dims}", flush=True)
 
 rng = np.random.default_rng(0)
 features = [
     jnp.asarray(rng.normal(0, 1, (1, d, d, d, 96)).astype(np.float32))
-    for d in (4, 8, 16, 32, 64)
+    for d in dims
 ]
 hotspot_infos = [
     {
