@@ -276,11 +276,14 @@ def test_sharded_cache_builder_matches_serial(protein_pdb, ref_ligand_pdb):
     )
     pmnet.focus_threshold = 0.0  # random weights: keep the cavity gates open
     center = np.asarray(pmnet.get_center(ref_ligand_pdb))
-    pocket_info = {
-        "p0": (protein_pdb, ref_ligand_pdb),
-        "p1": (protein_pdb, tuple(center + 1.0)),
-        "bad": ("/nonexistent/protein.pdb", (0.0, 0.0, 0.0)),
-    }
+    # 9 good pockets = 2 chunks on the 8-device mesh, exercising the lazy
+    # parse generator + parse/compute prefetch across chunk boundaries
+    pocket_info = {"p0": (protein_pdb, ref_ligand_pdb)}
+    pocket_info.update({
+        f"p{i}": (protein_pdb, tuple(center + 0.5 * i)) for i in range(1, 9)
+    })
+    pocket_info["bad"] = ("/nonexistent/protein.pdb", (0.0, 0.0, 0.0))
+    good_keys = {f"p{i}" for i in range(9)}
 
     features, _ = pmnet.feature_extraction(protein_pdb, ref_ligand_pdb)
     feats = [jnp.asarray(f) for f in features]
@@ -303,7 +306,7 @@ def test_sharded_cache_builder_matches_serial(protein_pdb, ref_ligand_pdb):
         serial = proxy.get_cache_database(dict(pocket_info), verbose=False)
         sharded = ShardedCacheBuilder(proxy, mesh=data_mesh()).get_cache_database(
             dict(pocket_info), verbose=False)
-        assert set(serial) == set(sharded) == {"p0", "p1"}
+        assert set(serial) == set(sharded) == good_keys
         for key in serial:
             assert len(serial[key]) == len(sharded[key])
             for a, b in zip(serial[key], sharded[key]):
