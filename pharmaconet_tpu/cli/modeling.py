@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     env.add_argument("--profile", type=str, metavar="DIR",
                      help="write a jax.profiler trace of the modeling run to DIR "
                           "(view with tensorboard / xprof)")
+    env.add_argument("--shard", action="store_true",
+                     help="fan each pocket's hotspot axis over all local devices "
+                          "(parallel.modeling.ShardedSegmenter; single-pocket "
+                          "latency on a pod slice)")
     env.add_argument("-v", "--verbose", action="store_true", help="verbose")
 
     adv = parser.add_argument_group("advanced")
@@ -74,6 +78,18 @@ def main(args) -> int:
                          segmentation_precision=args.segmentation_precision)
     logging.info("Load PharmacoNet finish")
 
+    runner = module
+    if args.shard:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from pharmaconet_tpu.parallel.modeling import ShardedSegmenter
+
+            runner = ShardedSegmenter(module)
+            logging.info(f"Sharding hotspot segmentation over {len(jax.devices())} devices")
+        else:
+            logging.info("--shard requested but only one device is visible; running single-device")
+
     if isinstance(args.pdb, str):
         protein_path = str(save_dir / f"{prefix}.pdb")
         if not os.path.exists(protein_path):
@@ -101,10 +117,10 @@ def main(args) -> int:
                 from pharmaconet_tpu.utils.profiling import trace
 
                 with trace(args.profile):
-                    model = module.run(protein_path, ref_ligand_path=ligand_path, center=center)
+                    model = runner.run(protein_path, ref_ligand_path=ligand_path, center=center)
                 logging.info(f"Wrote device trace to {args.profile}")
             else:
-                model = module.run(protein_path, ref_ligand_path=ligand_path, center=center)
+                model = runner.run(protein_path, ref_ligand_path=ligand_path, center=center)
             model.save(str(model_path))
             logging.info(f"Save pharmacophore model to {model_path}")
         written = visualize.visualize_single(model, protein_path, ligand_path, prefix, str(pymol_path))

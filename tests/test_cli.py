@@ -239,3 +239,11 @@ def test_screening_resume_torn_line_and_duplicates(pm_model, tmp_path):
     assert len(lines) == n_ref  # resumed run emits exactly as many rows
     assert sum(line.endswith(",123.25") for line in lines) == 1
     assert not (tmp_path / "scores.csv.partial").exists()
+
+
+def test_modeling_parser_shard_flag():
+    from pharmaconet_tpu.cli.modeling import build_parser
+
+    args = build_parser().parse_args(["--prefix", "x", "-p", "y.pdb", "--shard"])
+    assert args.shard is True
+    assert build_parser().parse_args(["--prefix", "x", "-p", "y.pdb"]).shard is False
