@@ -319,10 +319,18 @@ class PharmacophoreModel:
         ligand_smiles: str,
         num_conformers: int,
         weights: dict[str, float] | None = None,
+        conformer_engine: str = "auto",
     ) -> float:
+        """Score a SMILES string (reference pharmacophore_model.py:92-99).
+
+        conformer_engine: "rdkit" (the reference's ETKDG path), "dg"
+        (in-house distance geometry, no RDKit needed), or "auto".
+        """
         from ..scoring.ligand import Ligand
 
-        ligand = Ligand.load_from_smiles(ligand_smiles, num_conformers)
+        ligand = Ligand.load_from_smiles(
+            ligand_smiles, num_conformers, engine=conformer_engine
+        )
         return self._scoring(ligand, weights)
 
     def _scoring(self, ligand, weights: dict[str, float] | None = None) -> float:

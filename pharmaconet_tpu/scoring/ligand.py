@@ -79,16 +79,39 @@ class Ligand:
         return cls(base, positions)
 
     @classmethod
-    def load_from_smiles(cls, smiles: str, num_conformers: int) -> "Ligand":
-        """Conformer generation requires RDKit (optional dependency)."""
-        try:
-            from rdkit import Chem
-            from rdkit.Chem import rdDistGeom
-        except ImportError as e:  # pragma: no cover - optional path
-            raise ImportError(
-                "scoring_smiles requires RDKit for conformer generation; "
-                "provide an SDF/MOL2 file instead"
-            ) from e
+    def load_from_smiles(
+        cls, smiles: str, num_conformers: int, engine: str = "auto"
+    ) -> "Ligand":
+        """Embed conformers from SMILES (reference ligand.py:87-107).
+
+        engine:
+          * "rdkit" — RDKit srETKDGv3, exactly the reference's path
+            (raises ImportError if RDKit is absent);
+          * "dg" — the in-house distance-geometry embedder
+            (chem/embed.py; no external dependency);
+          * "auto" — RDKit when importable, otherwise "dg".
+        """
+        if engine not in ("auto", "rdkit", "dg"):
+            raise ValueError(f"unknown conformer engine {engine!r}")
+        if engine != "dg":
+            try:
+                return cls._load_from_smiles_rdkit(smiles, num_conformers)
+            except ImportError:
+                if engine == "rdkit":
+                    raise
+        from ..chem.embed import embed_conformers
+        from ..chem.smiles import parse_smiles
+
+        mol = parse_smiles(smiles)
+        confs = embed_conformers(mol, num_conformers)  # [C, N, 3]
+        mol.coords = confs[0]
+        return cls(mol, confs, conformer_axis=0)
+
+    @classmethod
+    def _load_from_smiles_rdkit(cls, smiles: str, num_conformers: int) -> "Ligand":
+        from rdkit import Chem
+        from rdkit.Chem import rdDistGeom
+
         import tempfile, os  # noqa: E401
 
         rdmol = Chem.MolFromSmiles(smiles)

@@ -112,17 +112,10 @@ def test_model_pm_roundtrip(tmp_path):
         assert s1 == pytest.approx(s2, rel=1e-6)
 
 
-def test_scoring_smiles_gate_without_rdkit():
-    """scoring_smiles is RDKit-gated exactly like the reference
-    (ligand.py:86-107): in an RDKit-less environment the error is
-    immediate and actionable, not a deep stack failure."""
-    import importlib.util
-
-    import pytest
-
-    from pharmaconet_tpu.scoring.ligand import Ligand
-
-    if importlib.util.find_spec("rdkit") is not None:  # pragma: no cover
-        pytest.skip("rdkit present: the real path runs elsewhere")
-    with pytest.raises(ImportError, match="requires RDKit"):
-        Ligand.load_from_smiles("c1ccccc1", num_conformers=4)
+def test_scoring_smiles_default_engine_no_rdkit():
+    """scoring_smiles no longer hard-requires RDKit: the default engine
+    falls back to in-house distance geometry (chem/embed.py) when RDKit
+    is absent. The rdkit-specific gate lives in test_embed.py."""
+    lig = Ligand.load_from_smiles("CCO", num_conformers=3)
+    assert lig.num_conformers == 3
+    assert lig.num_atoms == 3
