@@ -30,10 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--library", type=str,
                         help="existing packed library (.npz) to start from "
                              "(instead of -d)")
+    parser.add_argument("--smiles", type=str,
+                        help="SMILES library file ('SMILES [name]' per "
+                             "line); conformers are embedded in-house "
+                             "(instead of -d)")
     parser.add_argument("-o", "--out", type=str,
                         help="output packed library (.npz)")
     parser.add_argument("--num_conformers", type=int, default=None,
-                        help="cap conformers per ligand")
+                        help="cap conformers per ligand (files) / conformers "
+                             "to embed per SMILES (default 8)")
     parser.add_argument("--cpus", type=int, default=1,
                         help="worker processes for parsing")
 
@@ -62,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(args) -> int:
     from pharmaconet_tpu.scoring.library import (
         build_library_from_files,
+        build_library_from_smiles,
         load_library,
         save_library,
     )
@@ -69,8 +75,16 @@ def main(args) -> int:
     if args.library:
         packed, names = load_library(args.library)
         print(f"loaded {len(packed)} prepacked ligands from {args.library}")
+    elif args.smiles:
+        packed, names = build_library_from_smiles(
+            args.smiles, num_conformers=args.num_conformers or 8,
+            cpus=args.cpus,
+        )
+        print(f"embedded + packed {len(packed)} SMILES from {args.smiles}")
     else:
-        assert args.library_dir, "provide -d/--library_dir or --library"
+        assert args.library_dir, (
+            "provide -d/--library_dir, --library, or --smiles"
+        )
         library = Path(args.library_dir)
         files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))
         print(f"packing {len(files)} ligand files ...")

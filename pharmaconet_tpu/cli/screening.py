@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     cfg.add_argument("--library_tiles", type=str,
                      help="model-specific tile store directory "
                           "(prepack.py --tiles_out; skips the host pack)")
+    cfg.add_argument("--smiles", type=str,
+                     help="SMILES library file ('SMILES [name]' per line); "
+                          "conformers embedded in-house (prefer prepack.py "
+                          "--smiles for repeated screens)")
+    cfg.add_argument("--num_conformers", type=int, default=8,
+                     help="conformers to embed per SMILES (--smiles only)")
     cfg.add_argument("-o", "--out", type=str, required=True, help="result CSV path")
     cfg.add_argument("--batch_size", type=int, default=1024, help="ligands per device batch")
     cfg.add_argument("--cpus", type=int, default=1,
@@ -188,15 +194,27 @@ def main(args) -> int:
                 emit(*pending)
         partial.close()
         partial_path.unlink()  # complete: the sorted CSV is the record
-    elif args.library:
+    elif args.library or args.smiles:
         # prepacked library: skip parsing/perception entirely; the executor
         # overlaps C++ packing (GIL-released worker threads) with device
-        # dispatch + host postprocessing, preserving score order
+        # dispatch + host postprocessing, preserving score order.
+        # --smiles builds the same packed form in memory (embed + perceive
+        # once up front), then screens identically.
         from pharmaconet_tpu.scoring.executor import ScreeningExecutor
-        from pharmaconet_tpu.scoring.library import load_library
+        from pharmaconet_tpu.scoring.library import (
+            build_library_from_smiles,
+            load_library,
+        )
 
-        packed, names = load_library(args.library)
-        print(f"loaded {len(packed)} prepacked ligands")
+        if args.library:
+            packed, names = load_library(args.library)
+            print(f"loaded {len(packed)} prepacked ligands")
+        else:
+            packed, names = build_library_from_smiles(
+                args.smiles, num_conformers=args.num_conformers,
+                cpus=args.cpus,
+            )
+            print(f"embedded + packed {len(packed)} SMILES")
 
         partial_path = Path(args.out + ".partial")
         done = load_partial(partial_path, names)
@@ -237,7 +255,7 @@ def main(args) -> int:
         partial_path.unlink()  # complete: the sorted CSV is the record
     else:
         assert args.library_dir, (
-            "provide -d/--library_dir, --library, or --library_tiles"
+            "provide -d/--library_dir, --library, --library_tiles, or --smiles"
         )
         library = Path(args.library_dir)
         files = sorted(library.rglob("*.sdf")) + sorted(library.rglob("*.mol2"))

@@ -131,3 +131,48 @@ def build_library_from_files(
             continue
         names.append(path_str)
     return packed, names
+
+
+def read_smiles_file(path: str | Path) -> list[tuple[str, str]]:
+    """Read a .smi/.txt SMILES library: one 'SMILES [name]' per line.
+
+    Whitespace- or comma-separated; '#' starts a comment; a missing name
+    defaults to the 0-based line position mol<idx>."""
+    entries: list[tuple[str, str]] = []
+    for raw in Path(path).read_text().splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        fields = line.replace(",", " ").split()
+        smi = fields[0]
+        name = fields[1] if len(fields) > 1 else f"mol{len(entries)}"
+        entries.append((name, smi))
+    return entries
+
+
+def build_library_from_smiles(
+    path: str | Path,
+    num_conformers: int = 8,
+    cpus: int = 1,
+    seed: int = 2025,
+) -> tuple[list[PackedLigand], list[str]]:
+    """Parse + embed + perceive + pack a SMILES library (skips failures).
+
+    The reference cannot do this at scale — its scoring_smiles embeds one
+    molecule per call with RDKit (pharmacophore_model.py:92-99); here a
+    whole .smi file prepacks through chem/embed.py (or see prepack.py for
+    the persisted form that composes with tile stores and resume)."""
+    from .parse_pool import iter_embedded
+
+    entries = read_smiles_file(path)
+    packed: list[PackedLigand] = []
+    names: list[str] = []
+    for name, ligand in iter_embedded(
+        entries, cpus=cpus, num_conformers=num_conformers, seed=seed
+    ):
+        try:
+            packed.append(PackedLigand.from_ligand(ligand))
+        except Exception:  # noqa: BLE001 - tolerant library building
+            continue
+        names.append(name)
+    return packed, names

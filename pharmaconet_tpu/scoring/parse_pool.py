@@ -33,9 +33,48 @@ def iter_parsed(
 ) -> Iterator[tuple[str, object]]:
     """Yield (path, Ligand) in input order, skipping unparseable files."""
     jobs = [(str(p), num_conformers) for p in paths]
+    yield from _run_jobs(_parse_one, jobs, cpus, chunksize)
+
+
+def _embed_one(job: tuple[str, str, int, int]):
+    name, smiles, num_conformers, seed = job
+    from pharmaconet_tpu.chem.embed import embed_conformers
+    from pharmaconet_tpu.chem.smiles import parse_smiles
+    from pharmaconet_tpu.scoring.ligand import Ligand
+
+    try:
+        mol = parse_smiles(smiles)
+        confs = embed_conformers(mol, num_conformers, seed=seed)
+        mol.coords = confs[0]
+        return name, Ligand(mol, confs, conformer_axis=0)
+    except Exception as e:  # noqa: BLE001 - tolerant library iteration
+        print(f"skip {name} ({smiles}): {e}", file=sys.stderr)
+        return None
+
+
+def iter_embedded(
+    entries: list[tuple[str, str]],
+    cpus: int = 1,
+    num_conformers: int = 8,
+    seed: int = 2025,
+    chunksize: int = 4,
+) -> Iterator[tuple[str, object]]:
+    """Yield (name, Ligand) for (name, smiles) entries via the in-house
+    distance-geometry embedder (chem/embed.py), skipping failures.
+
+    Each entry embeds with seed + its index, so results are deterministic
+    and independent of cpus/chunksize."""
+    jobs = [
+        (name, smi, num_conformers, seed + i)
+        for i, (name, smi) in enumerate(entries)
+    ]
+    yield from _run_jobs(_embed_one, jobs, cpus, chunksize)
+
+
+def _run_jobs(fn, jobs, cpus: int, chunksize: int) -> Iterator:
     if cpus <= 1:
         for job in jobs:
-            r = _parse_one(job)
+            r = fn(job)
             if r is not None:
                 yield r
         return
@@ -43,6 +82,6 @@ def iter_parsed(
 
     ctx = mp.get_context("spawn")
     with ctx.Pool(processes=cpus) as pool:
-        for r in pool.imap(_parse_one, jobs, chunksize=chunksize):
+        for r in pool.imap(fn, jobs, chunksize=chunksize):
             if r is not None:
                 yield r
