@@ -181,27 +181,33 @@ def _smooth(lower: np.ndarray, upper: np.ndarray) -> tuple[np.ndarray, np.ndarra
     return lo, up
 
 
-def _embed_once(
-    lo: np.ndarray, up: np.ndarray, rng: np.random.Generator
+def _embed_batch(
+    lo: np.ndarray, up: np.ndarray, rng: np.random.Generator, count: int
 ) -> np.ndarray:
-    """Sample a metric within bounds; classical MDS to 3-D."""
+    """Sample `count` metrics within bounds; batched classical MDS to 3-D.
+
+    Returns [count, N, 3]. All conformers embed in one [C, N, N] batch —
+    the per-iteration numpy dispatch overhead at drug-like N would
+    otherwise dominate the whole .smi prepack path.
+    """
     n = lo.shape[0]
     if n == 1:
-        return np.zeros((1, 3))
-    u = rng.random((n, n))
+        return np.zeros((count, 1, 3))
+    u = rng.random((count, n, n))
     u = np.triu(u, 1)
-    u = u + u.T
-    dist = lo + u * (up - lo)
-    np.fill_diagonal(dist, 0.0)
+    u = u + np.swapaxes(u, 1, 2)
+    dist = lo[None] + u * (up - lo)[None]
     d2 = dist * dist
-    row = d2.mean(axis=1, keepdims=True)
-    gram = -0.5 * (d2 - row - row.T + d2.mean())
+    row = d2.mean(axis=2, keepdims=True)
+    col = d2.mean(axis=1, keepdims=True)
+    tot = d2.mean(axis=(1, 2), keepdims=True)
+    gram = -0.5 * (d2 - row - col + tot)
     w, v = np.linalg.eigh(gram)
-    w3 = np.clip(w[-3:], 0.0, None)
-    x = v[:, -3:] * np.sqrt(w3)[None, :]
+    w3 = np.clip(w[:, -3:], 0.0, None)
+    x = v[:, :, -3:] * np.sqrt(w3)[:, None, :]
     if n == 2:  # rank-1 Gram: eigh may order the spread axis anywhere
-        x = np.zeros((2, 3))
-        x[1, 0] = dist[0, 1]
+        x = np.zeros((count, 2, 3))
+        x[:, 1, 0] = dist[:, 0, 1]
     return x
 
 
@@ -212,30 +218,43 @@ def _refine(
     iters: int = 600,
     tol: float = 0.05,
 ) -> np.ndarray:
-    """Gradient descent on the squared bound-violation stress."""
-    n = x.shape[0]
+    """Gradient descent on the squared bound-violation stress.
+
+    x: [C, N, 3] — every conformer refines in the same vectorized loop;
+    converged conformers stop moving (their step is zeroed) while the
+    rest keep iterating.
+    """
+    n = x.shape[1]
     if n < 2:
         return x
     eye = np.eye(n, dtype=bool)
     lr = 0.12
     max_step = 0.25  # per-atom displacement cap per iteration (Angstrom)
+    out = x.copy()
+    idx = np.arange(x.shape[0])  # conformers still iterating
     for t in range(iters):
-        diff = x[:, None, :] - x[None, :, :]
+        diff = x[:, :, None, :] - x[:, None, :, :]
         d = np.sqrt((diff * diff).sum(-1))
-        d[eye] = 1.0
-        over = np.maximum(d - up, 0.0)
-        under = np.maximum(lo - d, 0.0)
+        d[:, eye] = 1.0
+        over = np.maximum(d - up[None], 0.0)
+        under = np.maximum(lo[None] - d, 0.0)
         viol = over - under
-        viol[eye] = 0.0
-        if max(over.max(), under.max()) < tol:
-            break
-        coef = viol / np.maximum(d, 0.05)
-        grad = 4.0 * (coef[:, :, None] * diff).sum(axis=1)
+        viol[:, eye] = 0.0
+        worst = np.maximum(over, under).max(axis=(1, 2))
+        live = worst >= tol
+        if not live.all():  # converged conformers leave the batch
+            out[idx[~live]] = x[~live]
+            idx, x = idx[live], x[live]
+            if idx.size == 0:
+                return out
+        coef = viol[live] / np.maximum(d[live], 0.05)
+        grad = 4.0 * (coef[:, :, :, None] * diff[live]).sum(axis=2)
         step = (lr / (1.0 + t / 150.0)) * grad
         norms = np.sqrt((step * step).sum(-1, keepdims=True))
         step *= np.minimum(1.0, max_step / np.maximum(norms, 1e-12))
         x = x - step
-    return x
+    out[idx] = x
+    return out
 
 
 def embed_conformers(
@@ -258,9 +277,6 @@ def embed_conformers(
     raw_lo, raw_up = _bounds(mol)
     lo, up = _smooth(raw_lo, raw_up)
     rng = np.random.default_rng(seed)
-    out = np.empty((num_conformers, n, 3), dtype=np.float32)
-    for c in range(num_conformers):
-        x = _embed_once(lo, up, rng)
-        x = _refine(x, raw_lo, raw_up)
-        out[c] = x.astype(np.float32)
-    return out
+    x = _embed_batch(lo, up, rng, num_conformers)
+    x = _refine(x, raw_lo, raw_up)
+    return x.astype(np.float32)
