@@ -130,11 +130,7 @@ def main(args) -> int:
                 results.append((name, score))
             partial.flush()
 
-        def emit(sb, rows, base):
-            if rows is None:
-                scores = [0.0] * sb.batch_len
-            else:
-                scores = base_screener.postprocess_stored(sb, rows)
+        def emit_scores(scores, base):
             keys, vals = [], []
             for j, s in enumerate(scores):
                 gi = base + j
@@ -142,6 +138,13 @@ def main(args) -> int:
                     keys.append((gi, names[gi]))
                     vals.append(s)
             record(keys, vals)
+
+        def emit(sb, rows, base):
+            if rows is None:
+                scores = [0.0] * sb.batch_len
+            else:
+                scores = base_screener.postprocess_stored(sb, rows)
+            emit_scores(scores, base)
 
         todo_batches = [
             bi for bi in range(store.n_batches)
@@ -168,13 +171,7 @@ def main(args) -> int:
                         [s for _, s in group]
                     )
                     for (gbi, gsb), scores in zip(group, scores_lists):
-                        keys, vals = [], []
-                        for j, s in enumerate(scores):
-                            gi = gbi * store.batch_size + j
-                            if gi not in done:
-                                keys.append((gi, names[gi]))
-                                vals.append(s)
-                        record(keys, vals)
+                        emit_scores(scores, gbi * store.batch_size)
                     group = []
             for gbi, gsb in group:  # tail: single-device dispatch
                 emit(gsb, base_screener.dispatch_stored(gsb),

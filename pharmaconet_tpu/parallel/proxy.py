@@ -200,13 +200,6 @@ class ShardedProxyScorer:
         return prog
 
 
-def _pad_axis0(arr: np.ndarray, size: int) -> np.ndarray:
-    if arr.shape[0] == size:
-        return arr
-    pad = np.zeros((size - arr.shape[0], *arr.shape[1:]), dtype=arr.dtype)
-    return np.concatenate([arr, pad], axis=0)
-
-
 class ShardedCacheBuilder:
     """Build a proxy's per-target cache database with pockets fanned over
     the device mesh, the trunk and the proxy's pocket encoder FUSED into one

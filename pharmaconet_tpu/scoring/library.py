@@ -136,17 +136,24 @@ def build_library_from_files(
 def read_smiles_file(path: str | Path) -> list[tuple[str, str]]:
     """Read a .smi/.txt SMILES library: one 'SMILES [name]' per line.
 
-    Whitespace- or comma-separated; '#' starts a comment; a missing name
-    defaults to the 0-based line position mol<idx>."""
+    Whitespace- or comma-separated; lines starting with '#' are comments
+    ('#' inside the first field is the SMILES triple bond, never a
+    comment); a missing name defaults to the 0-based position mol<idx>."""
     entries: list[tuple[str, str]] = []
     for raw in Path(path).read_text().splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
+        line = raw.strip()
+        if not line or line.startswith("#"):
             continue
         fields = line.replace(",", " ").split()
         smi = fields[0]
-        name = fields[1] if len(fields) > 1 else f"mol{len(entries)}"
-        entries.append((name, smi))
+        # anything from a '#'-led token onward is a trailing comment
+        name = None
+        for tok in fields[1:]:
+            if tok.startswith("#"):
+                break
+            name = tok
+            break
+        entries.append((name or f"mol{len(entries)}", smi))
     return entries
 
 

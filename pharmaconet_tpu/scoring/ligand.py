@@ -99,11 +99,24 @@ class Ligand:
             except ImportError:
                 if engine == "rdkit":
                     raise
+        return cls.from_smiles_dg(smiles, num_conformers)
+
+    @classmethod
+    def from_smiles_dg(
+        cls, smiles: str, num_conformers: int, seed: int = 2025
+    ) -> "Ligand":
+        """In-house distance-geometry path (chem/embed.py), no RDKit.
+
+        Strips explicit [H] atoms BEFORE embedding: the embedder only
+        places heavy atoms, so the coords must be assigned to the
+        stripped molecule or the conformer array misaligns."""
         from ..chem.embed import embed_conformers
         from ..chem.smiles import parse_smiles
 
         mol = parse_smiles(smiles)
-        confs = embed_conformers(mol, num_conformers)  # [C, N, 3]
+        if any(a.atomic_num == 1 for a in mol.atoms):
+            mol = mol.strip_hydrogens()
+        confs = embed_conformers(mol, num_conformers, seed=seed)  # [C, N, 3]
         mol.coords = confs[0]
         return cls(mol, confs, conformer_axis=0)
 

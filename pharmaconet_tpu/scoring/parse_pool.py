@@ -38,15 +38,10 @@ def iter_parsed(
 
 def _embed_one(job: tuple[str, str, int, int]):
     name, smiles, num_conformers, seed = job
-    from pharmaconet_tpu.chem.embed import embed_conformers
-    from pharmaconet_tpu.chem.smiles import parse_smiles
     from pharmaconet_tpu.scoring.ligand import Ligand
 
     try:
-        mol = parse_smiles(smiles)
-        confs = embed_conformers(mol, num_conformers, seed=seed)
-        mol.coords = confs[0]
-        return name, Ligand(mol, confs, conformer_axis=0)
+        return name, Ligand.from_smiles_dg(smiles, num_conformers, seed=seed)
     except Exception as e:  # noqa: BLE001 - tolerant library iteration
         print(f"skip {name} ({smiles}): {e}", file=sys.stderr)
         return None

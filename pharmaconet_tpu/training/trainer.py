@@ -252,7 +252,7 @@ class Trainer:
 
         n_dev = self.mesh.devices.size
         assert len(items) % n_dev == 0, (
-            f"DP batch size {len(items)} must divide the mesh size {n_dev}"
+            f"mesh size {n_dev} must divide the DP batch size {len(items)}"
         )
         items = repad_items(items)
         ng = int(items[0].batch_arrays[-1])

@@ -25,6 +25,7 @@ def enable_compile_cache(cache_dir: str | Path | None = None) -> Path | None:
     pharmaconet_tpu/xla. Set $PMNET_TPU_NO_COMPILE_CACHE=1 to disable.
     Safe to call multiple times; returns the directory or None if disabled.
     """
+    honor_env_platforms()
     if os.environ.get(_DISABLE):
         return None
     import jax
@@ -43,3 +44,24 @@ def enable_compile_cache(cache_dir: str | Path | None = None) -> Path | None:
         logger.warning("compile cache unavailable: %s", e)
         return None
     return path
+
+
+def honor_env_platforms() -> None:
+    """Make an explicit $JAX_PLATFORMS env setting actually stick.
+
+    Managed environments may install a sitecustomize that force-registers
+    a remote-TPU platform and overwrites jax_platforms (see
+    tests/conftest.py) — with the relay down, device init then hangs every
+    CLI even when the user pinned JAX_PLATFORMS=cpu. Re-assert the user's
+    choice before the first backend initialization. No-op when the env var
+    is unset or backends are already live."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+
+    try:
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except Exception as e:  # pragma: no cover - backends already initialized
+        logger.warning("could not re-pin jax_platforms=%s: %s", env, e)

@@ -52,6 +52,27 @@ def test_read_smiles_file(tmp_path):
     ]
 
 
+def test_read_smiles_file_triple_bond_not_comment(tmp_path):
+    """'#' is the SMILES triple bond: 'C#N' must survive intact (a naive
+    comment-stripper silently scores methane instead of acetonitrile)."""
+    f = tmp_path / "lib.smi"
+    f.write_text("C#N acetonitrile\nN#Cc1ccccc1 benzonitrile # nitriles\n")
+    assert read_smiles_file(f) == [
+        ("acetonitrile", "C#N"),
+        ("benzonitrile", "N#Cc1ccccc1"),
+    ]
+
+
+def test_from_smiles_dg_explicit_hydrogens():
+    """Explicit [H] atoms must strip BEFORE embedding, or the heavy-only
+    conformer array misaligns with the unstripped molecule (IndexError)."""
+    from pharmaconet_tpu.scoring.ligand import Ligand
+
+    lig = Ligand.load_from_smiles("[H]OC([H])([H])C", 3, engine="dg")
+    assert lig.num_atoms == 3  # O, C, C
+    assert lig.num_conformers == 3
+
+
 @pytest.fixture(scope="module")
 def smi_file(tmp_path_factory):
     d = tmp_path_factory.mktemp("smilib")
