@@ -50,6 +50,8 @@ _DEFAULT_COV = 0.77
 _ORDER_FACTOR = {1: 1.0, 2: 0.87, 3: 0.78, 4: 0.90, 5: 0.90}
 
 _BIG = 1.0e6
+# a refined conformer whose worst bound violation exceeds this is rejected
+_FAIL_VIOLATION = 0.5
 
 
 def _bond_length(mol: Molecule, a: int, b: int, order: int) -> float:
@@ -221,16 +223,17 @@ def _refine(
     """Gradient descent on the squared bound-violation stress.
 
     x: [C, N, 3] — every conformer refines in the same vectorized loop;
-    converged conformers stop moving (their step is zeroed) while the
-    rest keep iterating.
+    converged conformers drop out of the batch while the rest keep
+    iterating. Returns (coords, worst bound violation per conformer).
     """
     n = x.shape[1]
     if n < 2:
-        return x
+        return x, np.zeros(x.shape[0])
     eye = np.eye(n, dtype=bool)
     lr = 0.12
     max_step = 0.25  # per-atom displacement cap per iteration (Angstrom)
     out = x.copy()
+    final_worst = np.zeros(x.shape[0])
     idx = np.arange(x.shape[0])  # conformers still iterating
     for t in range(iters):
         diff = x[:, :, None, :] - x[:, None, :, :]
@@ -239,14 +242,16 @@ def _refine(
         over = np.maximum(d - up[None], 0.0)
         under = np.maximum(lo[None] - d, 0.0)
         viol = over - under
-        viol[:, eye] = 0.0
-        worst = np.maximum(over, under).max(axis=(1, 2))
+        viol[:, eye] = 0.0  # the d[eye]=1.0 placeholder is not a violation
+        # over/under are elementwise exclusive, so |viol| == max(over, under)
+        worst = np.abs(viol).max(axis=(1, 2))
+        final_worst[idx] = worst
         live = worst >= tol
         if not live.all():  # converged conformers leave the batch
             out[idx[~live]] = x[~live]
             idx, x = idx[live], x[live]
             if idx.size == 0:
-                return out
+                return out, final_worst
         coef = viol[live] / np.maximum(d[live], 0.05)
         grad = 4.0 * (coef[:, :, :, None] * diff[live]).sum(axis=2)
         step = (lr / (1.0 + t / 150.0)) * grad
@@ -254,7 +259,7 @@ def _refine(
         step *= np.minimum(1.0, max_step / np.maximum(norms, 1e-12))
         x = x - step
     out[idx] = x
-    return out
+    return out, final_worst
 
 
 def embed_conformers(
@@ -278,5 +283,23 @@ def embed_conformers(
     lo, up = _smooth(raw_lo, raw_up)
     rng = np.random.default_rng(seed)
     x = _embed_batch(lo, up, rng, num_conformers)
-    x = _refine(x, raw_lo, raw_up)
+    x, worst = _refine(x, raw_lo, raw_up)
+    # quality gate: a conformer whose refinement plateaued far outside
+    # the bounds is garbage geometry, not a conformer — resample it
+    # rather than silently score it
+    for _ in range(2):
+        bad = worst > _FAIL_VIOLATION
+        if not bad.any():
+            break
+        xr = _embed_batch(lo, up, rng, int(bad.sum()))
+        xr, wr = _refine(xr, raw_lo, raw_up)
+        better = wr < worst[bad]
+        replace = np.where(bad)[0][better]
+        x[replace] = xr[better]
+        worst[replace] = wr[better]
+    if (worst > _FAIL_VIOLATION).any():
+        raise ValueError(
+            f"distance-geometry embedding failed for {mol.title or 'molecule'}: "
+            f"worst bound violation {worst.max():.2f} A after retries"
+        )
     return x.astype(np.float32)
