@@ -17,4 +17,27 @@ __description__ = (
 
 from .pharmacophore.model import PharmacophoreModel
 
-__all__ = ["PharmacophoreModel", "__version__"]
+# Heavier surfaces resolve lazily so `import pharmaconet_tpu` stays light
+# (parse workers and docs tooling import the package for
+# PharmacophoreModel alone; the reference's root exports the same single
+# class, src/pmnet/__init__.py) while migrating users still find every
+# major entry point at the root.
+_LAZY = {
+    "PharmacoNet": ("pharmaconet_tpu.module", "PharmacoNet"),
+    "BatchScreener": ("pharmaconet_tpu.scoring.batch_screen", "BatchScreener"),
+    "Ligand": ("pharmaconet_tpu.scoring.ligand", "Ligand"),
+    "get_docking_proxy": ("pharmaconet_tpu.proxy", "get_docking_proxy"),
+    "get_pmnet_dev": ("pharmaconet_tpu.api", "get_pmnet_dev"),
+}
+
+
+def __getattr__(name: str):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target[0]), target[1])
+
+
+__all__ = ["PharmacophoreModel", "__version__", *sorted(_LAZY)]
