@@ -54,6 +54,9 @@ class TrainConfig:
     opt: OptimizerConfig = field(default_factory=OptimizerConfig)
     lr_scheduler: LrSchedulerConfig = field(default_factory=LrSchedulerConfig)
     split_ratio: float = 0.9
+    # 'pickle' = atomic synchronous full-state saves; 'orbax' = async
+    # (device->host snapshot now, disk write off the train loop)
+    checkpoint_backend: str = "pickle"
     center_noise: float = 3.0
 
 

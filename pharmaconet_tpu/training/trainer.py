@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 import json
 import logging
+import os
 import random
 import sys
 import time
@@ -147,6 +148,7 @@ class Trainer:
         example = self.train_dataset[0]
         self.params = self.model.init(jax.random.PRNGKey(0), *example.model_args())
         self.opt_state = self.optimizer.init(self.params)
+        self._orbax = None  # lazy AsyncCheckpointer (backend='orbax')
 
         def loss_fn(params, item_args):
             return self.model.apply(params, *item_args, method="loss")
@@ -305,7 +307,10 @@ class Trainer:
                     self.log(info, it, epoch, "train")
                 if it % cfg.save_every == 0:
                     self.save_checkpoint(f"epoch-{epoch}-it-{it}.npz")
-                    self.save_state("resume.ckpt", it, epoch)
+                    self.save_state(
+                        "resume.ckpt", it, epoch,
+                        backend=getattr(cfg, "checkpoint_backend", "pickle"),
+                    )
                 if it % cfg.val_every == 0:
                     val_info = self.evaluate()
                     self.log(val_info, it, epoch, "valid")
@@ -319,6 +324,7 @@ class Trainer:
                 it += 1
             epoch += 1
         self.save_checkpoint("last.npz")
+        self.wait_for_checkpoints()  # commit any in-flight async save
 
     def evaluate(self) -> dict[str, float]:
         losses = []
@@ -351,29 +357,69 @@ class Trainer:
     # reference saves model weights only and cannot resume
     # (developer/src/trainer.py:177-182, SURVEY.md §5); this build can.
     # ------------------------------------------------------------------
-    def save_state(self, filename: str, it: int, epoch: int) -> None:
-        import pickle
-
+    def save_state(
+        self, filename: str, it: int, epoch: int, backend: str = "pickle"
+    ) -> None:
+        """backend='pickle' writes atomically (tmp + rename: a crash
+        mid-save never corrupts the previous checkpoint — the exact
+        scenario resume exists for). backend='orbax' saves the same tree
+        asynchronously (device->host snapshot now, disk write off-thread)
+        so the train loop never blocks on checkpoint IO."""
+        # opt_state is an optax namedtuple tree; store flat leaves and
+        # rebuild against the live treedef at restore time (orbax would
+        # otherwise round-trip namedtuples into plain dicts)
         state = {
             "params": jax.tree.map(np.asarray, self.params),
-            "opt_state": jax.tree.map(
-                lambda x: np.asarray(x) if hasattr(x, "shape") else x, self.opt_state
-            ),
+            "opt_leaves": [np.asarray(x) for x in jax.tree.leaves(self.opt_state)],
             "iteration": it,
             "epoch": epoch,
         }
-        with open(self.save_dir / filename, "wb") as w:
-            pickle.dump(state, w)
+        path = self.save_dir / filename
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
 
-    def restore_state(self, path) -> tuple[int, int]:
-        """Resume from a full-state checkpoint; returns (iteration, epoch)."""
+            if self._orbax is None:
+                self._orbax = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            self._orbax.save(path.absolute(), state, force=True)
+            return
+        assert backend == "pickle", f"unknown checkpoint backend {backend!r}"
         import pickle
 
-        with open(path, "rb") as f:
-            state = pickle.load(f)
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "wb") as w:
+            pickle.dump(state, w)
+        os.replace(tmp, path)
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until any in-flight async (orbax) save has committed."""
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+
+    def restore_state(self, path) -> tuple[int, int]:
+        """Resume from a full-state checkpoint (either backend);
+        returns (iteration, epoch)."""
+        path = Path(path)
+        if path.is_dir():  # orbax checkpoints are directories
+            import orbax.checkpoint as ocp
+
+            state = ocp.PyTreeCheckpointer().restore(path.absolute())
+        else:
+            import pickle
+
+            with open(path, "rb") as f:
+                state = pickle.load(f)
         self.params = jax.tree.map(jnp.asarray, state["params"])
-        self.opt_state = jax.tree.map(
-            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
-            state["opt_state"],
-        )
-        return state["iteration"], state["epoch"]
+        if "opt_leaves" in state:
+            leaves = state["opt_leaves"]
+            if isinstance(leaves, dict):  # orbax may restore lists as dicts
+                leaves = [leaves[k] for k in sorted(leaves, key=int)]
+            self.opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.opt_state),
+                [jnp.asarray(x) for x in leaves],
+            )
+        else:  # legacy full-tree pickle format
+            self.opt_state = jax.tree.map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                state["opt_state"],
+            )
+        return int(state["iteration"]), int(state["epoch"])

@@ -119,6 +119,40 @@ def test_trainer_resume(train_setup):
     assert all(np.isfinite(np.asarray(x)).all() for x in flat2)
 
 
+def test_trainer_orbax_async_checkpoint(train_setup):
+    """backend='orbax' saves asynchronously and restores the optax
+    namedtuple opt_state with its structure intact (orbax alone would
+    round-trip namedtuples into dicts and break optimizer.update)."""
+    import jax
+    import numpy as np
+
+    config, pmnet = train_setup
+    config.log_dir = config.log_dir + "_orbax"
+    trainer = Trainer(config, pmnet=pmnet)
+    items = [trainer.train_dataset[0].loss_args()]
+    trainer.params, trainer.opt_state, _ = trainer._train_step(
+        trainer.params, trainer.opt_state, items
+    )
+    trainer.save_state("async.ckpt", it=5, epoch=1, backend="orbax")
+    trainer.wait_for_checkpoints()
+
+    trainer2 = Trainer(config, pmnet=pmnet)
+    it, epoch = trainer2.restore_state(trainer.save_dir / "async.ckpt")
+    assert (it, epoch) == (5, 1)
+    assert jax.tree.structure(trainer2.opt_state) == jax.tree.structure(
+        trainer.opt_state
+    )
+    for a, b in zip(jax.tree.leaves(trainer.opt_state),
+                    jax.tree.leaves(trainer2.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree.leaves(trainer.params),
+                    jax.tree.leaves(trainer2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # the restored optimizer state must actually step
+    p, o, loss = trainer2._train_step(trainer2.params, trainer2.opt_state, items)
+    assert np.isfinite(float(loss))
+
+
 def test_train_step_converges(train_setup):
     """Overfitting one fixed batch must reduce the loss monotonically-ish
     (a wiring bug in grads/optimizer would leave it flat or diverging)."""
