@@ -46,9 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="write a jax.profiler trace of the modeling run to DIR "
                           "(view with tensorboard / xprof)")
     env.add_argument("--shard", action="store_true",
-                     help="fan each pocket's hotspot axis over all local devices "
-                          "(parallel.modeling.ShardedSegmenter; single-pocket "
-                          "latency on a pod slice)")
+                     help="use all local devices: with --all and multiple "
+                          "uncached sites, one pocket per mesh slot "
+                          "(ShardedModeler batch); otherwise each pocket's "
+                          "hotspot axis fans out (ShardedSegmenter latency)")
     env.add_argument("-v", "--verbose", action="store_true", help="verbose")
 
     adv = parser.add_argument_group("advanced")
@@ -106,10 +107,13 @@ def main(args) -> int:
     else:
         raise SystemExit("Missing protein: `--pdb` or `--protein`")
 
-    def run_pmnet(filename, ligand_path=None, center=None) -> PharmacophoreModel:
+    def run_pmnet(filename, ligand_path=None, center=None, model=None) -> PharmacophoreModel:
         model_path = save_dir / f"{filename}.{args.suffix}"
         pymol_path = save_dir / f"{filename}_pymol.pse"
-        if (not args.force) and model_path.exists():
+        if model is not None:  # precomputed by the batched mesh path
+            model.save(str(model_path))
+            logging.info(f"Save pharmacophore model to {model_path}")
+        elif (not args.force) and model_path.exists():
             logging.warning(f"Modeling pass - {model_path} exists")
             model = PharmacophoreModel.load(str(model_path))
         else:
@@ -149,11 +153,37 @@ def main(args) -> int:
 
     if args.all:
         logging.info("Use all binding sites (-a | --all)")
+        # --shard with multiple sites: one pocket per mesh slot
+        # (ShardedModeler.run_batch) instead of site-serial segmentation —
+        # throughput mapping for the multi-site case; cached sites are
+        # excluded from the batch
+        precomputed = {}
+        if args.shard:
+            import jax
+
+            keys = [f"{prefix}_{i.pdbchain}_{i.id}" for i in informs]
+            todo = [
+                (k, i) for k, i in zip(keys, informs)
+                if args.force or not (save_dir / f"{k}_model.{args.suffix}").exists()
+            ]
+            if len(jax.devices()) > 1 and len(todo) > 1:
+                from pharmaconet_tpu.parallel.modeling import ShardedModeler
+
+                logging.info(
+                    f"Batch-modeling {len(todo)} sites over "
+                    f"{len(jax.devices())} devices"
+                )
+                models = ShardedModeler(module).run_batch(
+                    [(protein_path, i.file_path, i.center) for _, i in todo]
+                )
+                precomputed = {k: m for (k, _), m in zip(todo, models)}
+
         model_dict = {}
         for inform in informs:
             key = f"{prefix}_{inform.pdbchain}_{inform.id}"
             model_dict[key] = (
-                run_pmnet(f"{key}_model", inform.file_path, inform.center),
+                run_pmnet(f"{key}_model", inform.file_path, inform.center,
+                          model=precomputed.get(key)),
                 inform.file_path,
             )
         written = visualize.visualize_multiple(

@@ -247,3 +247,84 @@ def test_modeling_parser_shard_flag():
     args = build_parser().parse_args(["--prefix", "x", "-p", "y.pdb", "--shard"])
     assert args.shard is True
     assert build_parser().parse_args(["--prefix", "x", "-p", "y.pdb"]).shard is False
+
+
+def test_modeling_cli_all_shard_batches(tmp_path, monkeypatch):
+    """--all --shard routes uncached sites through ShardedModeler.run_batch
+    (one pocket per mesh slot); cached sites are excluded, and a second
+    run is a pure cache hit with no batch call."""
+    from helpers import _model_state
+    from pharmaconet_tpu.cli.modeling import build_parser, main
+    from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
+
+    def _hetatm(serial, name, res, chain, resi, x, y, z, element):
+        return (
+            f"HETATM{serial:5d} {name:<4s}{res:>4s} {chain}{resi:4d}    "
+            f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {element:>2s}"
+        )
+
+    pdb = tmp_path / "twosite.pdb"
+    lines = [
+        "HET    LIG  A   1       2",
+        "HET    LIG  B   1       2",
+        "ATOM      1  CA  ALA A   9      10.000  10.000  10.000  1.00  0.00           C",
+        _hetatm(2, "C1", "LIG", "A", 1, 1.0, 2.0, 3.0, "C"),
+        _hetatm(3, "O1", "LIG", "A", 1, 2.0, 2.0, 3.0, "O"),
+        _hetatm(4, "C1", "LIG", "B", 1, 21.0, 2.0, 3.0, "C"),
+        _hetatm(5, "O1", "LIG", "B", 1, 22.0, 2.0, 3.0, "O"),
+        "END",
+    ]
+    pdb.write_text("\n".join(lines) + "\n")
+
+    def _toy_model():
+        m = PharmacophoreModel()
+        m.__setstate__(_model_state(
+            nodes=[("Hydrophobic", "Hydrophobic", (0.0, 0.0, 0.0), 1.0)],
+            clusters=[("Hydrophobic", [0])],
+        ))
+        return m
+
+    calls = {}
+
+    class FakePmnet:
+        def __init__(self, **kwargs):
+            pass
+
+    class FakeShardedModeler:
+        def __init__(self, module, mesh=None):
+            pass
+
+        def run_batch(self, jobs):
+            calls["jobs"] = list(jobs)
+            return [_toy_model() for _ in jobs]
+
+    monkeypatch.setattr("pharmaconet_tpu.module.PharmacoNet", FakePmnet)
+    monkeypatch.setattr(
+        "pharmaconet_tpu.parallel.modeling.ShardedModeler", FakeShardedModeler
+    )
+    # keep ShardedSegmenter (the single-pocket --shard runner) inert too:
+    # with both sites batched it must never run
+    class FakeSegmenter:
+        def __init__(self, module, mesh=None):
+            pass
+
+        def run(self, *a, **k):  # pragma: no cover - must not be reached
+            raise AssertionError("serial runner used despite batch path")
+
+    monkeypatch.setattr(
+        "pharmaconet_tpu.parallel.modeling.ShardedSegmenter", FakeSegmenter
+    )
+
+    out = tmp_path / "out"
+    argv = ["--prefix", "two", "-p", str(pdb), "--all", "--shard",
+            "--out_dir", str(out)]
+    assert main(build_parser().parse_args(argv)) == 0
+    assert len(calls["jobs"]) == 2
+    for job in calls["jobs"]:
+        assert job[0] == str(pdb)
+    pm_files = sorted(p.name for p in out.glob("*_model.pm"))
+    assert len(pm_files) == 2, pm_files
+
+    calls.clear()
+    assert main(build_parser().parse_args(argv)) == 0  # pure cache hit
+    assert "jobs" not in calls
