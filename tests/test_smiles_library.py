@@ -115,6 +115,34 @@ def test_screening_cli_smiles(smi_file, tmp_path):
         assert got[name] == pytest.approx(expected, rel=2e-5, abs=1e-4), name
 
 
+def test_prepack_smiles_to_tiles_composes(smi_file, tmp_path):
+    """One command from .smi to a screen-ready tile store: the --smiles
+    source feeds --tiles_out exactly like a file-built library."""
+    model = make_synthetic_model(seed=3)
+    model_path = tmp_path / "m.pm"
+    model.save(str(model_path))
+    tiles = tmp_path / "tiles"
+    args = prepack_parser().parse_args(
+        ["--smiles", str(smi_file), "-p", str(model_path),
+         "--tiles_out", str(tiles), "--batch_size", "8"]
+    )
+    assert prepack_main(args) == 0
+    out = tmp_path / "t.csv"
+    sargs = screening_parser().parse_args(
+        ["-p", str(model_path), "--library_tiles", str(tiles),
+         "-o", str(out)]
+    )
+    assert screening_main(sargs) == 0
+    rows = dict(
+        line.rsplit(",", 1) for line in out.read_text().splitlines()[1:]
+    )
+    assert set(rows) == {name for name, _ in SMILES}
+    entries = read_smiles_file(smi_file)
+    for name, ligand in iter_embedded(entries, num_conformers=8):
+        expected = GraphMatcher(model, ligand).run()
+        assert float(rows[name]) == pytest.approx(expected, rel=2e-5, abs=1e-4)
+
+
 def test_prepack_smiles_roundtrip(smi_file, tmp_path):
     """prepack --smiles -> .npz -> screening --library gives the same
     scores as the in-memory --smiles path (same seeds, same packing)."""
