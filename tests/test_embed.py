@@ -157,6 +157,40 @@ def test_score_reflection_invariance():
     assert s > 0.0
 
 
+def test_dg_bounds_vs_rdkit_geometry():
+    """Cross-validate the bounds matrix against RDKit's own ETKDG
+    geometry: every bonded/1-3 distance of an RDKit conformer must fall
+    inside our raw bounds (with slack). Skipped when RDKit is absent —
+    it arms automatically in any environment that has it (same pattern
+    as verify_checkpoint for real weights)."""
+    pytest.importorskip("rdkit")
+    from rdkit import Chem
+    from rdkit.Chem import rdDistGeom
+
+    from pharmaconet_tpu.chem.embed import _bounds
+
+    for name in ("aspirin", "caffeine", "sildenafil"):
+        rdmol = Chem.MolFromSmiles(PANEL[name])
+        rdmol = Chem.AddHs(rdmol)
+        rdDistGeom.EmbedMultipleConfs(rdmol, 4, params=rdDistGeom.srETKDGv3())
+        rdmol = Chem.RemoveHs(rdmol)
+        mol = parse_smiles(PANEL[name])
+        assert mol.num_atoms == rdmol.GetNumAtoms()
+        lo, up = _bounds(mol)
+        pairs = {(b.a, b.b) for b in mol.bonds}
+        for i in range(mol.num_atoms):
+            nbrs = mol.neighbors(i)
+            for a in nbrs:
+                for b in nbrs:
+                    if a < b:
+                        pairs.add((a, b))
+        for conf in rdmol.GetConformers():
+            pos = conf.GetPositions()
+            for i, j in pairs:
+                d = float(np.linalg.norm(pos[i] - pos[j]))
+                assert lo[i, j] - 0.3 < d < up[i, j] + 0.3, (name, i, j, d)
+
+
 def test_rdkit_engine_gate():
     """engine='rdkit' still demands RDKit explicitly (the reference's
     exact path); 'auto' must NOT raise in an RDKit-less environment."""
