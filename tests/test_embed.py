@@ -78,6 +78,22 @@ def test_geometry_quality(name):
             assert rms_out_of_plane < 0.35
 
 
+def test_embed_full_golden_corpus():
+    """Every golden-corpus molecule (incl. triphosphate, sulfonium,
+    fused/charged heterocycles) must embed without bound frustration:
+    no rejection, bond errors bounded."""
+    from test_chem_golden import CORPUS
+
+    for name in sorted(CORPUS):
+        smiles = CORPUS[name][0]
+        mol = parse_smiles(smiles).strip_hydrogens()
+        confs = embed_conformers(mol, 2, seed=1)
+        for bond in mol.bonds:
+            d = np.linalg.norm(confs[:, bond.a] - confs[:, bond.b], axis=-1)
+            target = _bond_length(mol, bond.a, bond.b, bond.order)
+            assert np.abs(d - target).max() < 0.12, (name, bond.a, bond.b)
+
+
 def test_determinism_and_seed_sensitivity():
     mol = parse_smiles(PANEL["aspirin"])
     a = embed_conformers(mol, 3, seed=5)
