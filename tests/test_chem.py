@@ -249,3 +249,26 @@ def test_mol2_aromatic_bonds():
     block = MOL2_BLOCK.replace("     1    1    2 1", "     1    1    2 ar")
     mol = parse_mol2(block)[0]
     assert mol.bonds[0].aromatic
+
+
+def test_smiles_parser_fuzz_exception_hygiene():
+    """Random garbage must fail ONLY with SmilesError (a user-facing,
+    catchable contract the tolerant library paths rely on), and whatever
+    parses must survive perception — 5k seeded trials."""
+    import random
+
+    from pharmaconet_tpu.chem.ligand_perception import get_pharmacophore_nodes
+    from pharmaconet_tpu.chem.smiles import SmilesError, parse_smiles
+
+    rng = random.Random(0)
+    alphabet = list("CcNnOoSsPpBFIl()[]=#-+@H123456789%./\\rb")
+    parsed = 0
+    for _ in range(5000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        try:
+            mol = parse_smiles(s)
+        except SmilesError:
+            continue
+        parsed += 1
+        get_pharmacophore_nodes(mol.strip_hydrogens())
+    assert parsed > 100  # the corpus actually exercises the success path
