@@ -467,7 +467,29 @@ def main():
             def run_one(a):
                 return score_tiles_fused_dt(*a, depth1=d1, depth2=d2)
 
-    if engine == "pallas-dt":
+    if engine == "v3":
+        # block-major rows + deduplicated group tables
+        # (scoring/screen_v3.py): ~3.6x smaller per-tile stream than the
+        # dt kernel — the round-3 contract experiment (PERF_NOTES)
+        from pharmaconet_tpu.ops.screen_pallas import score_tiles_v3
+
+        vb = screener.build_vb(batch)
+        depth, mn_cap, g_cap = vb.depth, vb.mn_cap, vb.g_cap
+        print(
+            f"[bench] v3 layout: T={vb.dt.shape[0]} mn_cap={mn_cap} "
+            f"g_cap={g_cap} tab={vb.tab.nbytes/1e6:.1f}MB "
+            f"dt={vb.dt.nbytes/1e6:.1f}MB", file=sys.stderr,
+        )
+        args = (
+            jnp.asarray(vb.dt), jnp.asarray(vb.gid),
+            jnp.asarray(vb.tab), jnp.asarray(vb.aux),
+        )
+
+        def run_one(a):
+            return score_tiles_v3(
+                *a, depth=depth, mn_cap=mn_cap, g_cap=g_cap
+            )
+    elif engine == "pallas-dt":
         pass  # run_one/args were set above
     elif engine.startswith("pallas"):
         from pharmaconet_tpu.ops.screen_pallas import (

@@ -286,6 +286,120 @@ def score_tiles_fused_dt_rows(
     ).T
 
 
+def _v3_kernel(dt_ref, gid_ref, tab_ref, aux_ref, out_ref,
+               *, c: int, tile: int, mn_cap: int, g_cap: int, depth: int):
+    """v3 block-major kernel (scoring/screen_v3.py layout): one row per
+    ligand-node-pair block, model-node-pair (mn) axis in-kernel, gaussian
+    parameters selected from a per-tile deduplicated group table with a
+    one-hot matmul (exact at HIGHEST: single-term sums), block fail logic
+    in-row, ONE pair-level bounded scan. Replaces the ~98 KB/tile gtab
+    stream with a ~[G_CAP, R] table (~8 KB) + [1, tile] i32 ids."""
+    dt = dt_ref[0]  # [c, tile]
+    gid = gid_ref[0, 0, :]  # [tile] i32
+    tab = tab_ref[0]  # [g_cap, r_pad]
+    a = aux_ref[0]  # [3, tile]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (g_cap, tile), 0)
+    oh = (iota == gid[None, :]).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        tab, oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [r_pad, tile]
+    mu = sel[0:mn_cap]
+    inv = sel[mn_cap : 2 * mn_cap]
+    w2 = sel[2 * mn_cap : 3 * mn_cap]
+    mnhalf = sel[3 * mn_cap : 3 * mn_cap + 1]  # [1, tile]
+
+    # gaussian block, sublane-packed [mn_cap*c, tile] (the _gauss_phase_dt
+    # pattern with the mn axis in place of BLOCK_P)
+    dt_b = jnp.concatenate([dt] * mn_cap, axis=0)
+    mu_b = jnp.concatenate([mu[:, None, :]] * c, axis=1).reshape(mn_cap * c, tile)
+    inv_b = jnp.concatenate([inv[:, None, :]] * c, axis=1).reshape(mn_cap * c, tile)
+    w2_b = jnp.concatenate([w2[:, None, :]] * c, axis=1).reshape(mn_cap * c, tile)
+    x = (dt_b - mu_b) * inv_b
+    x2 = x * x
+    valid = w2_b > 0.0
+    term = jnp.where(valid, w2_b * jnp.exp(-0.5 * x2), 0.0)
+    hit = jnp.where(valid & (x2 < 4.0), 1.0, 0.0)
+    score = jnp.sum(term.reshape(mn_cap, c, tile), axis=0)  # [c, tile]
+    npass = jnp.sum(hit.reshape(mn_cap, c, tile), axis=0)
+
+    selff = a[2:3]  # [1, tile]
+    gate = 1.0 - selff  # fails only count on cross pairs
+    block_fail = jnp.where(npass < mnhalf, gate, 0.0)  # [c, tile]
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    pb = _scan_bounded_tile(
+        jnp.concatenate([score, block_fail], axis=0), a[0:1], depth, lanes
+    )
+    pair_score, pair_fail = pb[:c], pb[c:]
+    failed = pair_fail > a[1:2]
+    out_ref[:, :] = jnp.where(failed & (selff == 0.0), -1.0, pair_score)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "mn_cap", "g_cap", "tile", "interpret")
+)
+def score_tiles_v3(
+    dt: jax.Array,  # [T, c, tile] f32 per-block conformer distances
+    gid: jax.Array,  # [T, tile] i32 group slot ids
+    tab: jax.Array,  # [T, g_cap, r_pad] f32 group tables
+    aux: jax.Array,  # [T, 3, tile] f32 (pair-start, thr, is_self)
+    depth: int,
+    mn_cap: int,
+    g_cap: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused screening program over the v3 block-major layout. Returns the
+    expanded [c, NBT] table: per-pair scores at pair-end rows (host
+    compacts via V3Batch.pair_end_rows)."""
+    t, c, _ = dt.shape
+    nbt = t * tile
+    r_pad = tab.shape[2]
+    kernel = functools.partial(
+        _v3_kernel, c=c, tile=tile, mn_cap=mn_cap, g_cap=g_cap, depth=depth
+    )
+    grid_spec = pl.GridSpec(
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, c, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_cap, r_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, nbt), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(dt, gid.reshape(t, 1, tile), tab, aux)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "mn_cap", "g_cap", "tile", "interpret")
+)
+def score_tiles_v3_rows(
+    dt: jax.Array,
+    gid: jax.Array,
+    tab: jax.Array,
+    aux: jax.Array,
+    depth: int,
+    mn_cap: int,
+    g_cap: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """score_tiles_v3 transposed to [NBT, c] (host pair compaction reads
+    c-contiguous rows — see score_tiles_fused_rows)."""
+    return score_tiles_v3(
+        dt, gid, tab, aux, depth, mn_cap, g_cap, tile=tile, interpret=interpret
+    ).T
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth1", "depth2", "tile", "cap", "interpret")
 )

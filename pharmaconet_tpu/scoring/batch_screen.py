@@ -934,6 +934,12 @@ class BatchScreener:
         out = [0.0] * len(packed)
         if not live:
             return out
+        if self._resolve_engine() == "v3":
+            batch = build_batch(self.packed_model, [p for _, p in live])
+            vb = self.build_vb(batch)
+            for (i, _), s in zip(live, self.score_vb(vb)):
+                out[i] = s
+            return out
         if (
             self._resolve_engine() == "pallas"
             and self.pallas_fused
@@ -1008,6 +1014,42 @@ class BatchScreener:
     def score_tb(self, tb) -> list[float]:
         """Device + host tail for one packed tiled batch."""
         return self.postprocess_tb(tb, self.dispatch_tb(tb))
+
+    # ------------------------------------------------------------------
+    # v3 engine (block-major rows + deduplicated group tables;
+    # scoring/screen_v3.py + ops/screen_pallas.score_tiles_v3)
+    # ------------------------------------------------------------------
+    def build_vb(self, batch: ScreenBatch):
+        """v3 layout with recompile-bounded shape buckets: rows pad to the
+        half-octave tile grid, the in-kernel mn axis to a half-octave of 8."""
+        from .screen_tiles import TILE
+        from .screen_v3 import build_v3_layout, pad_v3
+
+        mn_max = int(batch.block_mn.max(initial=1))
+        vb = build_v3_layout(batch, mn_cap=_bucket_up(mn_max, 8))
+        t = vb.dt.shape[0]
+        t_bucket = -(-_bucket_up(max(vb.nbt, 1), TILE) // TILE)
+        return pad_v3(vb, t_bucket) if t_bucket > t else vb
+
+    def dispatch_vb(self, vb) -> jax.Array:
+        """Launch the v3 kernel on a v3 batch (async). Returns [NBT, c]
+        rows (host pair compaction reads c-contiguous rows)."""
+        from ..ops.screen_pallas import score_tiles_v3_rows
+
+        return score_tiles_v3_rows(
+            jnp.asarray(vb.dt), jnp.asarray(vb.gid), jnp.asarray(vb.tab),
+            jnp.asarray(vb.aux), depth=vb.depth, mn_cap=vb.mn_cap,
+            g_cap=vb.g_cap, interpret=self.pallas_interpret,
+        )
+
+    def postprocess_vb(self, vb, rows_dev) -> list[float]:
+        table = compact_pair_table_rows(np.asarray(rows_dev), vb.pair_end_rows)
+        prune = host_prune_mask(vb, self.packed_model)
+        table[: len(prune)][prune] = -1.0
+        return _dfs_scores(vb, table, threads=self.pack_threads)
+
+    def score_vb(self, vb) -> list[float]:
+        return self.postprocess_vb(vb, self.dispatch_vb(vb))
 
     def dispatch_stored(self, sb) -> jax.Array:
         """Launch the fused kernel on a tile-store batch (async). v2 stores
