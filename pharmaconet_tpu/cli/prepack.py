@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="ligands per stored batch")
     tiles.add_argument("--pack_threads", type=int, default=1,
                        help="host threads for the native tile packer")
+    tiles.add_argument("--tiles_version", type=int, default=2, choices=(2, 3),
+                       help="store layout: 2 = row-expanded gaussian tables "
+                            "(default), 3 = block-major + deduplicated group "
+                            "tables (~4x smaller on disk)")
 
     param = parser.add_argument_group("screening weights (baked into tiles)")
     param.add_argument("--hydrophobic", type=float, default=1.0)
@@ -102,7 +106,10 @@ def main(args) -> int:
         )
         from pharmaconet_tpu.pharmacophore.model import PharmacophoreModel
         from pharmaconet_tpu.scoring.batch_screen import PackedModel
-        from pharmaconet_tpu.scoring.tiled_store import write_tiled_store
+        from pharmaconet_tpu.scoring.tiled_store import (
+            write_tiled_store,
+            write_v3_store,
+        )
 
         weights = dict(
             Cation=args.cation, Anion=args.anion, Aromatic=args.aromatic,
@@ -112,13 +119,21 @@ def main(args) -> int:
         model = PackedModel.from_model(
             PharmacophoreModel.load(args.pharmacophore_model), weights
         )
-        meta = write_tiled_store(
+        writer = (
+            write_v3_store if args.tiles_version == 3 else write_tiled_store
+        )
+        meta = writer(
             args.tiles_out, model, packed, names,
             batch_size=args.batch_size, threads=args.pack_threads,
         )
+        shape = (
+            f"T {meta['t']}, mn_cap {meta['mn_cap']}"
+            if meta["version"] == 3 else f"width {meta['width']}"
+        )
         print(
-            f"tile store: {meta['n_batches']} batches of {meta['batch_size']} "
-            f"(width {meta['width']}, cmax {meta['cmax']}) -> {args.tiles_out}"
+            f"tile store v{meta['version']}: {meta['n_batches']} batches of "
+            f"{meta['batch_size']} ({shape}, cmax {meta['cmax']}) "
+            f"-> {args.tiles_out}"
         )
     elif not args.out:
         raise SystemExit("nothing to do: provide -o and/or --tiles_out")

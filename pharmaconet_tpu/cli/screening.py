@@ -162,7 +162,7 @@ def main(args) -> int:
             group: list = []
             for bi in todo_batches:
                 sb = store.load(bi)
-                if sb.gtab is None:
+                if sb.empty:
                     emit(sb, None, bi * store.batch_size)
                     continue
                 group.append((bi, sb))
@@ -182,7 +182,7 @@ def main(args) -> int:
                 base = bi * store.batch_size
                 sb = store.load(bi)
                 rows = None
-                if sb.gtab is not None:
+                if not sb.empty:
                     rows = base_screener.dispatch_stored(sb)
                 if pending is not None:
                     emit(*pending)

@@ -236,14 +236,61 @@ class ShardedScreener(BatchScreener):
             prog = self._fused_programs[key] = sharded_score
         return prog
 
+    def _v3_sharded_program(self, depth: int, mn_cap: int, g_cap: int,
+                            interpret: bool):
+        """Cached jitted shard_map program over stacked v3-store batches
+        (one StoredV3Batch per device slot)."""
+        from ..ops.screen_pallas import score_tiles_v3_rows
+
+        if not hasattr(self, "_v3_programs"):
+            self._v3_programs = {}
+        key = (depth, mn_cap, g_cap, interpret)
+        prog = self._v3_programs.get(key)
+        if prog is None:
+
+            @jax.jit
+            def sharded_score(dt, gid, tab, aux):
+                def per_shard(dt, gid, tab, aux):
+                    return score_tiles_v3_rows(
+                        dt[0], gid[0], tab[0], aux[0],
+                        depth=depth, mn_cap=mn_cap, g_cap=g_cap,
+                        interpret=interpret,
+                    )[None]
+
+                return jax.shard_map(
+                    per_shard,
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 4,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )(dt, gid, tab, aux)
+
+            prog = self._v3_programs[key] = sharded_score
+        return prog
+
     def score_stored_group(self, sbs: list) -> list[list[float]]:
         """Score one StoredBatch per mesh device in a single shard_map
         program (scoring/tiled_store.py guarantees every batch in a store
         shares one device shape, so stacking is free of repacking). Returns
-        per-batch score lists; the host tails run per shard."""
+        per-batch score lists; the host tails run per shard. Handles both
+        v1/v2 (gtab) and v3 (block-major) store batches."""
         n_dev = self.mesh.devices.size
         assert len(sbs) == n_dev, (len(sbs), n_dev)
-        assert all(sb.gtab is not None for sb in sbs)
+        assert all(not sb.empty for sb in sbs)
+        if getattr(sbs[0], "gid", None) is not None:  # v3 store
+            depth = max(sb.depth for sb in sbs)
+            mn_cap, g_cap = sbs[0].mn_cap, sbs[0].g_cap
+            stacked = [
+                jnp.asarray(np.stack([np.asarray(getattr(sb, f)) for sb in sbs]))
+                for f in ("dt", "gid", "tab", "aux")
+            ]
+            program = self._v3_sharded_program(
+                depth, mn_cap, g_cap, self.pallas_interpret)
+            tables = np.asarray(program(*stacked))  # [n_dev, NBT, C]
+            return [
+                self.postprocess_stored(sb, tables[k])
+                for k, sb in enumerate(sbs)
+            ]
         d1 = max(sb.depth1 for sb in sbs)
         d2 = max(sb.depth2 for sb in sbs)
         use_dt = all(getattr(sb, "dt", None) is not None for sb in sbs)

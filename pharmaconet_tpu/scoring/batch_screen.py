@@ -1057,6 +1057,16 @@ class BatchScreener:
         the in-kernel one-hot build + MXU select (~0.7 ms/batch of VPU
         work, PERF_NOTES round-2 ablation); v1 stores fall back to the
         pos/uv one-hot path."""
+        if getattr(sb, "gid", None) is not None:
+            # v3 store (block-major rows + group tables)
+            from ..ops.screen_pallas import score_tiles_v3_rows
+
+            return score_tiles_v3_rows(
+                jnp.asarray(sb.dt), jnp.asarray(sb.gid),
+                jnp.asarray(sb.tab), jnp.asarray(sb.aux),
+                depth=sb.depth, mn_cap=sb.mn_cap, g_cap=sb.g_cap,
+                interpret=self.pallas_interpret,
+            )
         if getattr(sb, "dt", None) is None:
             return self.dispatch_tb(sb)
         from ..ops.screen_pallas import score_tiles_fused_dt_rows
@@ -1083,9 +1093,10 @@ class BatchScreener:
         return scores
 
     def score_stored(self, sb) -> list[float]:
-        """Device + host tail for one StoredBatch from a tile store
-        (scoring/tiled_store.py); cluster-less ligands score 0 in place."""
-        if sb.gtab is None:
+        """Device + host tail for one StoredBatch / StoredV3Batch from a
+        tile store (scoring/tiled_store.py); cluster-less ligands score 0
+        in place."""
+        if sb.empty:
             return [0.0] * sb.batch_len
         return self.postprocess_stored(sb, self.dispatch_stored(sb))
 

@@ -48,8 +48,12 @@ from .batch_screen import PackedLigand, PackedModel
 # skips the in-kernel one-hot build (~0.7 ms/batch of VPU work) at the
 # cost of a ~16 KB/tile extra HBM stream. v1 stores stay readable (the
 # dispatcher falls back to the one-hot kernel when dt is absent).
+# v3 is a different LAYOUT (scoring/screen_v3.py): block-major rows +
+# per-tile deduplicated group tables — ~4x smaller on disk and ~3.6x less
+# HBM stream than v2, written by write_v3_store (`prepack.py
+# --tiles_version 3`).
 STORE_VERSION = 2
-_READABLE_VERSIONS = (1, 2)
+_READABLE_VERSIONS = (1, 2, 3)
 
 
 def model_fingerprint(model: PackedModel) -> str:
@@ -99,6 +103,46 @@ class StoredBatch:
             self.dfs_pair_starts, self.dfs_conformers,
             self.dfs_active_offsets, self.dfs_cand_counts,
         )
+
+    @property
+    def empty(self) -> bool:
+        return self.gtab is None
+
+
+@dataclass
+class StoredV3Batch:
+    """One screen-ready batch from a version-3 (block-major) tile store.
+
+    Device fields feed ops/screen_pallas.score_tiles_v3_rows; the host
+    tail (pair_end_rows/prune/dfs_arrays) is identical to StoredBatch and
+    flows through BatchScreener.postprocess_stored unchanged."""
+
+    dt: np.ndarray  # [T, cmax, tile] f32
+    gid: np.ndarray  # [T, tile] i32
+    tab: np.ndarray  # [T, g_cap, r_pad] f32
+    aux: np.ndarray  # [T, 3, tile] f32
+    depth: int  # library-max pair-scan depth (deeper-than-needed is a no-op)
+    mn_cap: int
+    g_cap: int
+    pair_end_rows: np.ndarray
+    prune: np.ndarray
+    dfs_pair_starts: np.ndarray
+    dfs_conformers: np.ndarray
+    dfs_active_offsets: np.ndarray
+    dfs_cand_counts: np.ndarray
+    live_index: np.ndarray
+    batch_len: int
+
+    @property
+    def dfs_arrays(self):
+        return (
+            self.dfs_pair_starts, self.dfs_conformers,
+            self.dfs_active_offsets, self.dfs_cand_counts,
+        )
+
+    @property
+    def empty(self) -> bool:
+        return self.dt is None
 
 
 def _dfs_arrays_from_tb(tb) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -246,6 +290,143 @@ def write_tiled_store(
     return meta
 
 
+def write_v3_store(
+    out_dir: str | Path,
+    model: PackedModel,
+    packed: list[PackedLigand],
+    names: list[str],
+    batch_size: int = 2048,
+    threads: int = 1,
+    verbose: bool = True,
+) -> dict:
+    """Pack the library into a version-3 (block-major) tile store.
+
+    Same contract as write_tiled_store but the on-disk device layout is
+    the v3 one (scoring/screen_v3.py): ~4x smaller per ligand, which on
+    disk-bound at-scale screens (SCALE_1M.json: the 1M-ligand v2 store is
+    103 GB) is the difference between disk- and host-bound. All batches
+    share one device shape: (t, mn_cap, g_cap) natural per batch in pass
+    1, then outlier batches are re-emitted at the library maxima in pass
+    2 (t grows by neutral-tile padding without repacking; mn_cap/g_cap
+    growth rebuilds the layout from a fresh pack)."""
+    from .batch_screen import build_batch, host_prune_mask
+    from .screen_tiles import TILE
+    from .screen_v3 import V3_G_CAP, _neutral_aux, build_v3_layout
+
+    out = Path(out_dir)
+    (out / "batches").mkdir(parents=True, exist_ok=True)
+    assert len(packed) == len(names)
+
+    cmax = max((p.num_conformers for p in packed if p.clusters), default=1)
+    n_batches = (len(packed) + batch_size - 1) // batch_size
+
+    t_max, mn_max, g_max, depth_max = 0, 8, V3_G_CAP, 0
+    shapes: list[tuple[int, int, int] | None] = []  # (t, mn_cap, g_cap)
+
+    def build_vb_for(bi: int, mn_cap=None, g_cap=V3_G_CAP, nbt=None):
+        chunk = packed[bi * batch_size : (bi + 1) * batch_size]
+        live = [(i, p) for i, p in enumerate(chunk) if p.clusters]
+        if not live:
+            return None, np.zeros(0, np.int32), len(chunk)
+        batch = build_batch(model, [p for _, p in live], cmax=cmax)
+        vb = build_v3_layout(batch, mn_cap=mn_cap, g_cap=g_cap, nbt=nbt)
+        return vb, np.asarray([i for i, _ in live], np.int32), len(chunk)
+
+    def save_vb(bi: int, vb, live_idx: np.ndarray, batch_len: int):
+        bdir = out / "batches" / f"{bi:05d}"
+        bdir.mkdir(exist_ok=True)
+        if vb is None:
+            np.savez(bdir / "host.npz", empty=np.asarray(1),
+                     live_index=live_idx, batch_len=np.asarray(batch_len))
+            return
+        np.save(bdir / "dt.npy", vb.dt)
+        np.save(bdir / "gid.npy", vb.gid)
+        np.save(bdir / "tab.npy", vb.tab)
+        np.save(bdir / "aux.npy", vb.aux)
+        prune = host_prune_mask(vb, model)
+        ps, cf, ao, cc = _dfs_arrays_from_tb(vb)
+        np.savez(
+            bdir / "host.npz",
+            pair_end_rows=vb.pair_end_rows, prune=prune,
+            dfs_pair_starts=ps, dfs_conformers=cf,
+            dfs_active_offsets=ao, dfs_cand_counts=cc,
+            live_index=live_idx, batch_len=np.asarray(batch_len),
+        )
+
+    for bi in range(n_batches):
+        vb, live_idx, blen = build_vb_for(bi)
+        if vb is not None:
+            t = vb.dt.shape[0]
+            t_max = max(t_max, t)
+            mn_max = max(mn_max, vb.mn_cap)
+            g_max = max(g_max, vb.g_cap)
+            depth_max = max(depth_max, vb.depth)
+            shapes.append((t, vb.mn_cap, vb.g_cap))
+        else:
+            shapes.append(None)
+        save_vb(bi, vb, live_idx, blen)
+        if verbose and (bi + 1) % 50 == 0:
+            print(f"packed {bi + 1}/{n_batches} v3 batches (T {t_max})")
+
+    # pass 2: bring every batch to the common (t_max, mn_max, g_max) shape
+    repacked = padded = 0
+    for bi, shape in enumerate(shapes):
+        if shape is None or shape == (t_max, mn_max, g_max):
+            continue
+        t, mn_cap, g_cap = shape
+        bdir = out / "batches" / f"{bi:05d}"
+        if mn_cap != mn_max:
+            # table row layout changes with mn_cap: rebuild from a pack
+            vb, live_idx, blen = build_vb_for(
+                bi, mn_cap=mn_max, g_cap=g_max, nbt=t_max * TILE
+            )
+            save_vb(bi, vb, live_idx, blen)
+            repacked += 1
+            continue
+        # same mn_cap: grow by padding (slot ids are table-prefix indices,
+        # so appending zero group slots / neutral tiles changes nothing)
+        dt = np.load(bdir / "dt.npy")
+        gid = np.load(bdir / "gid.npy")
+        tab = np.load(bdir / "tab.npy")
+        aux = np.load(bdir / "aux.npy")
+        if g_cap != g_max:
+            tab = np.concatenate(
+                [tab, np.zeros((tab.shape[0], g_max - g_cap, tab.shape[2]),
+                               np.float32)], axis=1)
+        if t != t_max:
+            extra = t_max - t
+            dt = np.concatenate(
+                [dt, np.zeros((extra,) + dt.shape[1:], np.float32)])
+            gid = np.concatenate([gid, np.zeros((extra, TILE), np.int32)])
+            tab = np.concatenate(
+                [tab, np.zeros((extra,) + tab.shape[1:], np.float32)])
+            aux = np.concatenate([aux, _neutral_aux(extra, TILE)])
+        np.save(bdir / "dt.npy", dt)
+        np.save(bdir / "gid.npy", gid)
+        np.save(bdir / "tab.npy", tab)
+        np.save(bdir / "aux.npy", aux)
+        padded += 1
+    if verbose and (repacked or padded):
+        print(f"pass 2: {padded} batches padded, {repacked} rebuilt "
+              f"to (T={t_max}, mn_cap={mn_max}, g_cap={g_max})")
+
+    np.save(out / "names.npy", np.asarray(names))
+    meta = dict(
+        version=3,
+        n_ligands=len(packed),
+        n_batches=n_batches,
+        batch_size=batch_size,
+        t=t_max,
+        cmax=cmax,
+        mn_cap=mn_max,
+        g_cap=g_max,
+        depth=depth_max,
+        fingerprint=model_fingerprint(model),
+    )
+    (out / "meta.json").write_text(json.dumps(meta, indent=1))
+    return meta
+
+
 class TiledStore:
     """Reader for a prepacked tile store (mmap-backed)."""
 
@@ -277,6 +458,8 @@ class TiledStore:
         the mapping."""
         bdir = self.path / "batches" / f"{bi:05d}"
         host = np.load(bdir / "host.npz")
+        if self.meta["version"] == 3:
+            return self._load_v3(bdir, host, "r" if mmap else None)
         if "empty" in host:
             return StoredBatch(
                 gtab=None, aux=None, uv=None, pos_blocks=None,
@@ -303,6 +486,40 @@ class TiledStore:
             # and pinning them keeps one compiled program for the store
             depth1=self.meta["depth1"],
             depth2=self.meta["depth2"],
+            pair_end_rows=host["pair_end_rows"],
+            prune=host["prune"],
+            dfs_pair_starts=host["dfs_pair_starts"],
+            dfs_conformers=host["dfs_conformers"],
+            dfs_active_offsets=host["dfs_active_offsets"],
+            dfs_cand_counts=host["dfs_cand_counts"],
+            live_index=host["live_index"],
+            batch_len=int(host["batch_len"]),
+        )
+
+    def _load_v3(self, bdir: Path, host, mm) -> StoredV3Batch:
+        m = self.meta
+        if "empty" in host:
+            return StoredV3Batch(
+                dt=None, gid=None, tab=None, aux=None,
+                depth=m["depth"], mn_cap=m["mn_cap"], g_cap=m["g_cap"],
+                pair_end_rows=np.zeros(0, np.int64),
+                prune=np.zeros(0, bool),
+                dfs_pair_starts=np.zeros(0, np.int64),
+                dfs_conformers=np.zeros(0, np.int32),
+                dfs_active_offsets=np.zeros(1, np.int32),
+                dfs_cand_counts=np.zeros(0, np.int32),
+                live_index=host["live_index"],
+                batch_len=int(host["batch_len"]),
+            )
+        return StoredV3Batch(
+            dt=np.load(bdir / "dt.npy", mmap_mode=mm),
+            gid=np.load(bdir / "gid.npy", mmap_mode=mm),
+            tab=np.load(bdir / "tab.npy", mmap_mode=mm),
+            aux=np.load(bdir / "aux.npy", mmap_mode=mm),
+            # library-max shape params: every batch was brought to the
+            # common (t, mn_cap, g_cap) at write time, and running the
+            # pair scan deeper than a batch needs is a no-op
+            depth=m["depth"], mn_cap=m["mn_cap"], g_cap=m["g_cap"],
             pair_end_rows=host["pair_end_rows"],
             prune=host["prune"],
             dfs_pair_starts=host["dfs_pair_starts"],
