@@ -289,7 +289,11 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     import time as _time
 
     from pharmaconet_tpu.scoring.batch_screen import BatchScreener
-    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_tiled_store
+    from pharmaconet_tpu.scoring.tiled_store import (
+        TiledStore,
+        write_tiled_store,
+        write_v3_store,
+    )
 
     model = make_synthetic_model()
     # BENCH_THREADS shards the host tail's C++ DFS over threads (score-
@@ -298,22 +302,29 @@ def bench_stored_pipeline(batch_size: int, iters: int):
         model, pack_threads=int(os.environ.get("BENCH_THREADS", "1")))
     packed = make_synthetic_ligands(batch_size)
     tmp = tempfile.mkdtemp(prefix="bench_store_")
-    write_tiled_store(
+    # BENCH_STORE=v3 measures the block-major store's host tail (smaller
+    # mmap stream; same compact/prune/DFS)
+    v3 = os.environ.get("BENCH_STORE", "v2") == "v3"
+    writer = write_v3_store if v3 else write_tiled_store
+    writer(
         tmp, screener.packed_model, packed,
         [f"l{i}" for i in range(batch_size)],
         batch_size=batch_size, verbose=False,
     )
     store = TiledStore(tmp, screener.packed_model)
     sb = store.load(0)
-    nst_pad = sb.gtab.shape[0] * sb.gtab.shape[3]
-    cmax = sb.pos_blocks.shape[1] // 3
-    screener.postprocess_stored(sb, np.zeros((nst_pad, cmax), np.float32))
+    if v3:
+        rows_shape = (sb.dt.shape[0] * sb.dt.shape[2], sb.dt.shape[1])
+    else:
+        rows_shape = (sb.gtab.shape[0] * sb.gtab.shape[3],
+                      sb.pos_blocks.shape[1] // 3)
+    screener.postprocess_stored(sb, np.zeros(rows_shape, np.float32))
 
     times = []
     for _ in range(iters):
         t0 = _time.perf_counter()
         sb = store.load(0)
-        rows = np.zeros((nst_pad, cmax), np.float32)
+        rows = np.zeros(rows_shape, np.float32)
         scores = screener.postprocess_stored(sb, rows)
         assert len(scores) == batch_size
         times.append(_time.perf_counter() - t0)
@@ -321,7 +332,8 @@ def bench_stored_pipeline(batch_size: int, iters: int):
 
     per_batch = statistics.median(times)
     print(
-        f"[bench] stored-pipeline: {per_batch*1e3:.0f} ms/batch -> "
+        f"[bench] stored-pipeline ({'v3' if v3 else 'v2'}): "
+        f"{per_batch*1e3:.0f} ms/batch -> "
         f"{batch_size/per_batch:,.0f} lig/s per host core "
         "(load+compact+prune+dfs; pack was paid at prepack time)",
         file=sys.stderr,
