@@ -314,7 +314,13 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     store = TiledStore(tmp, screener.packed_model)
     sb = store.load(0)
     if v3:
-        rows_shape = (sb.dt.shape[0] * sb.dt.shape[2], sb.dt.shape[1])
+        # device-compacted contract: the host tail receives the [NPpad, c]
+        # pair table, not the expanded rows
+        rows_shape = (
+            (len(sb.ends_padded), sb.dt.shape[1])
+            if sb.ends_padded is not None
+            else (sb.dt.shape[0] * sb.dt.shape[2], sb.dt.shape[1])
+        )
     else:
         rows_shape = (sb.gtab.shape[0] * sb.gtab.shape[3],
                       sb.pos_blocks.shape[1] // 3)

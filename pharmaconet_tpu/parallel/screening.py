@@ -237,33 +237,57 @@ class ShardedScreener(BatchScreener):
         return prog
 
     def _v3_sharded_program(self, depth: int, mn_cap: int, g_cap: int,
-                            interpret: bool):
+                            interpret: bool, use_ends: bool):
         """Cached jitted shard_map program over stacked v3-store batches
-        (one StoredV3Batch per device slot)."""
-        from ..ops.screen_pallas import score_tiles_v3_rows
+        (one StoredV3Batch per device slot). use_ends adds the on-device
+        pair compaction (score_tiles_v3_pairs)."""
+        from ..ops.screen_pallas import (
+            score_tiles_v3_pairs,
+            score_tiles_v3_rows,
+        )
 
         if not hasattr(self, "_v3_programs"):
             self._v3_programs = {}
-        key = (depth, mn_cap, g_cap, interpret)
+        key = (depth, mn_cap, g_cap, interpret, use_ends)
         prog = self._v3_programs.get(key)
         if prog is None:
+            if use_ends:
 
-            @jax.jit
-            def sharded_score(dt, gid, tab, aux):
-                def per_shard(dt, gid, tab, aux):
-                    return score_tiles_v3_rows(
-                        dt[0], gid[0], tab[0], aux[0],
-                        depth=depth, mn_cap=mn_cap, g_cap=g_cap,
-                        interpret=interpret,
-                    )[None]
+                @jax.jit
+                def sharded_score(dt, gid, tab, aux, ends):
+                    def per_shard(dt, gid, tab, aux, ends):
+                        return score_tiles_v3_pairs(
+                            dt[0], gid[0], tab[0], aux[0], ends[0],
+                            depth=depth, mn_cap=mn_cap, g_cap=g_cap,
+                            interpret=interpret,
+                        )[None]
 
-                return jax.shard_map(
-                    per_shard,
-                    mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 4,
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )(dt, gid, tab, aux)
+                    return jax.shard_map(
+                        per_shard,
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * 5,
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )(dt, gid, tab, aux, ends)
+
+            else:
+
+                @jax.jit
+                def sharded_score(dt, gid, tab, aux):
+                    def per_shard(dt, gid, tab, aux):
+                        return score_tiles_v3_rows(
+                            dt[0], gid[0], tab[0], aux[0],
+                            depth=depth, mn_cap=mn_cap, g_cap=g_cap,
+                            interpret=interpret,
+                        )[None]
+
+                    return jax.shard_map(
+                        per_shard,
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * 4,
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )(dt, gid, tab, aux)
 
             prog = self._v3_programs[key] = sharded_score
         return prog
@@ -280,13 +304,22 @@ class ShardedScreener(BatchScreener):
         if getattr(sbs[0], "gid", None) is not None:  # v3 store
             depth = max(sb.depth for sb in sbs)
             mn_cap, g_cap = sbs[0].mn_cap, sbs[0].g_cap
+            use_ends = all(sb.ends_padded is not None for sb in sbs)
+            fields = ("dt", "gid", "tab", "aux") + (
+                ("ends_padded",) if use_ends else ())
             stacked = [
                 jnp.asarray(np.stack([np.asarray(getattr(sb, f)) for sb in sbs]))
-                for f in ("dt", "gid", "tab", "aux")
+                for f in fields
             ]
             program = self._v3_sharded_program(
-                depth, mn_cap, g_cap, self.pallas_interpret)
-            tables = np.asarray(program(*stacked))  # [n_dev, NBT, C]
+                depth, mn_cap, g_cap, self.pallas_interpret, use_ends)
+            tables = np.asarray(program(*stacked))  # [n_dev, NBT|NPpad, C]
+            if not use_ends:
+                # postprocess_stored branches on ends_padded; mixed groups
+                # ran uncompacted, so every tail must compact on host
+                import dataclasses
+
+                sbs = [dataclasses.replace(sb, ends_padded=None) for sb in sbs]
             return [
                 self.postprocess_stored(sb, tables[k])
                 for k, sb in enumerate(sbs)

@@ -1023,27 +1023,49 @@ class BatchScreener:
         """v3 layout with recompile-bounded shape buckets: rows pad to the
         half-octave tile grid, the in-kernel mn axis to a half-octave of 8."""
         from .screen_tiles import TILE
-        from .screen_v3 import build_v3_layout, pad_v3
+        from .screen_v3 import build_v3_layout, pad_v3, padded_ends
 
         mn_max = int(batch.block_mn.max(initial=1))
         vb = build_v3_layout(batch, mn_cap=_bucket_up(mn_max, 8))
         t = vb.dt.shape[0]
         t_bucket = -(-_bucket_up(max(vb.nbt, 1), TILE) // TILE)
-        return pad_v3(vb, t_bucket) if t_bucket > t else vb
+        if t_bucket > t:
+            vb = pad_v3(vb, t_bucket)
+        vb.ends_padded = padded_ends(
+            vb.pair_end_rows, _bucket_up(max(len(vb.pair_end_rows), 1))
+        )
+        return vb
 
     def dispatch_vb(self, vb) -> jax.Array:
-        """Launch the v3 kernel on a v3 batch (async). Returns [NBT, c]
-        rows (host pair compaction reads c-contiguous rows)."""
-        from ..ops.screen_pallas import score_tiles_v3_rows
+        """Launch the v3 kernel on a v3 batch (async). With ends_padded
+        set, pair compaction happens on device (score_tiles_v3_pairs) and
+        this returns the [NPpad, c] pair table; otherwise the full
+        [NBT, c] rows come back for host compaction."""
+        from ..ops.screen_pallas import score_tiles_v3_pairs, score_tiles_v3_rows
 
-        return score_tiles_v3_rows(
+        args = (
             jnp.asarray(vb.dt), jnp.asarray(vb.gid), jnp.asarray(vb.tab),
-            jnp.asarray(vb.aux), depth=vb.depth, mn_cap=vb.mn_cap,
+            jnp.asarray(vb.aux),
+        )
+        if vb.ends_padded is not None:
+            return score_tiles_v3_pairs(
+                *args, jnp.asarray(vb.ends_padded), depth=vb.depth,
+                mn_cap=vb.mn_cap, g_cap=vb.g_cap,
+                interpret=self.pallas_interpret,
+            )
+        return score_tiles_v3_rows(
+            *args, depth=vb.depth, mn_cap=vb.mn_cap,
             g_cap=vb.g_cap, interpret=self.pallas_interpret,
         )
 
     def postprocess_vb(self, vb, rows_dev) -> list[float]:
-        table = compact_pair_table_rows(np.asarray(rows_dev), vb.pair_end_rows)
+        if vb.ends_padded is not None:
+            table = np.asarray(rows_dev)[: len(vb.pair_end_rows)].copy()
+            table[vb.pair_end_rows < 0] = 0.0
+        else:
+            table = compact_pair_table_rows(
+                np.asarray(rows_dev), vb.pair_end_rows
+            )
         prune = host_prune_mask(vb, self.packed_model)
         table[: len(prune)][prune] = -1.0
         return _dfs_scores(vb, table, threads=self.pack_threads)
@@ -1058,13 +1080,25 @@ class BatchScreener:
         work, PERF_NOTES round-2 ablation); v1 stores fall back to the
         pos/uv one-hot path."""
         if getattr(sb, "gid", None) is not None:
-            # v3 store (block-major rows + group tables)
-            from ..ops.screen_pallas import score_tiles_v3_rows
+            # v3 store (block-major rows + group tables); pair compaction
+            # on device when the store carries padded pair-end rows
+            from ..ops.screen_pallas import (
+                score_tiles_v3_pairs,
+                score_tiles_v3_rows,
+            )
 
-            return score_tiles_v3_rows(
+            args = (
                 jnp.asarray(sb.dt), jnp.asarray(sb.gid),
                 jnp.asarray(sb.tab), jnp.asarray(sb.aux),
-                depth=sb.depth, mn_cap=sb.mn_cap, g_cap=sb.g_cap,
+            )
+            if sb.ends_padded is not None:
+                return score_tiles_v3_pairs(
+                    *args, jnp.asarray(sb.ends_padded), depth=sb.depth,
+                    mn_cap=sb.mn_cap, g_cap=sb.g_cap,
+                    interpret=self.pallas_interpret,
+                )
+            return score_tiles_v3_rows(
+                *args, depth=sb.depth, mn_cap=sb.mn_cap, g_cap=sb.g_cap,
                 interpret=self.pallas_interpret,
             )
         if getattr(sb, "dt", None) is None:
@@ -1081,10 +1115,16 @@ class BatchScreener:
         """Host tail for a tile-store batch: the prune mask and the DFS
         candidate arrays were precomputed at prepack time, so this is just
         the pair-row gather + the C++ DFS (~25 ms/batch/core vs ~214 ms
-        for the full pack-at-screen-time path)."""
-        table = compact_pair_table_rows(
-            np.asarray(expanded_rows_dev), sb.pair_end_rows
-        )
+        for the full pack-at-screen-time path). v3 batches with device-side
+        compaction hand a ready [NPpad, c] pair table instead."""
+        if getattr(sb, "ends_padded", None) is not None:
+            table = np.asarray(expanded_rows_dev)[
+                : len(sb.pair_end_rows)].copy()
+            table[sb.pair_end_rows < 0] = 0.0
+        else:
+            table = compact_pair_table_rows(
+                np.asarray(expanded_rows_dev), sb.pair_end_rows
+            )
         table[: len(sb.prune)][sb.prune] = -1.0
         live_scores = _dfs_scores(sb, table, threads=self.pack_threads)
         scores = [0.0] * sb.batch_len

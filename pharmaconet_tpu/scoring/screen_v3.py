@@ -75,6 +75,19 @@ class V3Batch:
     lig_cluster_size: np.ndarray
     ln: int
     cmax: int
+    # [NPpad] i32 pair-end rows clipped >= 0, padded to a shape bucket —
+    # input of the on-device pair-compaction program (score_tiles_v3_pairs);
+    # None means the caller compacts on host from pair_end_rows
+    ends_padded: np.ndarray | None = None
+
+
+def padded_ends(pair_end_rows: np.ndarray, np_pad: int) -> np.ndarray:
+    """Clip (-1 -> 0) and zero-pad pair-end rows to `np_pad` for the
+    device gather; the host re-masks empty pairs from the signed copy."""
+    ends = np.clip(pair_end_rows, 0, None).astype(np.int32)
+    if np_pad < len(ends):
+        raise ValueError(f"np_pad {np_pad} < NP {len(ends)}")
+    return np.pad(ends, (0, np_pad - len(ends)))
 
 
 AUX3_FP, AUX3_THR, AUX3_SELF = range(3)
@@ -373,6 +386,7 @@ def pad_v3(vb: V3Batch, t_bucket: int, tile: int = TILE) -> V3Batch:
         lig_cluster_center=vb.lig_cluster_center,
         lig_cluster_size=vb.lig_cluster_size,
         ln=vb.ln, cmax=vb.cmax,
+        ends_padded=vb.ends_padded,
     )
 
 

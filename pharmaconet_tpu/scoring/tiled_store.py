@@ -132,6 +132,10 @@ class StoredV3Batch:
     dfs_cand_counts: np.ndarray
     live_index: np.ndarray
     batch_len: int
+    # [NPpad] i32 — store-wide padded pair-end rows for the on-device
+    # pair-compaction program (v3's group-sorted rows make host-side
+    # compaction a scattered gather; see score_tiles_v3_pairs)
+    ends_padded: np.ndarray | None = None
 
     @property
     def dfs_arrays(self):
@@ -353,6 +357,7 @@ def write_v3_store(
             live_index=live_idx, batch_len=np.asarray(batch_len),
         )
 
+    np_max = 0
     for bi in range(n_batches):
         vb, live_idx, blen = build_vb_for(bi)
         if vb is not None:
@@ -361,6 +366,7 @@ def write_v3_store(
             mn_max = max(mn_max, vb.mn_cap)
             g_max = max(g_max, vb.g_cap)
             depth_max = max(depth_max, vb.depth)
+            np_max = max(np_max, len(vb.pair_end_rows))
             shapes.append((t, vb.mn_cap, vb.g_cap))
         else:
             shapes.append(None)
@@ -421,6 +427,7 @@ def write_v3_store(
         mn_cap=mn_max,
         g_cap=g_max,
         depth=depth_max,
+        np_pad=max(8, ((np_max + 7) // 8) * 8),
         fingerprint=model_fingerprint(model),
     )
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
@@ -511,11 +518,19 @@ class TiledStore:
                 live_index=host["live_index"],
                 batch_len=int(host["batch_len"]),
             )
+        from .screen_v3 import padded_ends
+
         return StoredV3Batch(
             dt=np.load(bdir / "dt.npy", mmap_mode=mm),
             gid=np.load(bdir / "gid.npy", mmap_mode=mm),
             tab=np.load(bdir / "tab.npy", mmap_mode=mm),
             aux=np.load(bdir / "aux.npy", mmap_mode=mm),
+            # np_pad is store-wide, so the compaction program keeps one
+            # shape; older v3 stores without it fall back to host compaction
+            ends_padded=(
+                padded_ends(host["pair_end_rows"], m["np_pad"])
+                if "np_pad" in m else None
+            ),
             # library-max shape params: every batch was brought to the
             # common (t, mn_cap, g_cap) at write time, and running the
             # pair scan deeper than a batch needs is a no-op
