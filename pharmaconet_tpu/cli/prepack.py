@@ -52,10 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="ligands per stored batch")
     tiles.add_argument("--pack_threads", type=int, default=1,
                        help="host threads for the native tile packer")
-    tiles.add_argument("--tiles_version", type=int, default=2, choices=(2, 3),
-                       help="store layout: 2 = row-expanded gaussian tables "
-                            "(default), 3 = block-major + deduplicated group "
-                            "tables (~4x smaller on disk)")
+    tiles.add_argument("--tiles_version", type=int, default=3, choices=(2, 3),
+                       help="store layout: 3 = block-major + deduplicated "
+                            "group tables (default: ~4x smaller on disk, "
+                            "~2x lower per-batch host tail via on-device "
+                            "pair compaction), 2 = row-expanded gaussian "
+                            "tables (fastest device kernel marginal; pick "
+                            "when host cores and disk are plentiful)")
 
     param = parser.add_argument_group("screening weights (baked into tiles)")
     param.add_argument("--hydrophobic", type=float, default=1.0)

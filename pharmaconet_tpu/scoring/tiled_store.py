@@ -50,8 +50,16 @@ from .batch_screen import PackedLigand, PackedModel
 # dispatcher falls back to the one-hot kernel when dt is absent).
 # v3 is a different LAYOUT (scoring/screen_v3.py): block-major rows +
 # per-tile deduplicated group tables — ~4x smaller on disk and ~3.6x less
-# HBM stream than v2, written by write_v3_store (`prepack.py
-# --tiles_version 3`).
+# HBM stream than v2, written by write_v3_store (the `prepack.py
+# --tiles_out` default). Chip-measured trade (PERF_NOTES round-3 "v3
+# chip verdict"): the v3 kernel marginal is 2.20 ms/2048-batch vs the
+# v2 dt kernel's 1.38 ms (the kernel is compute-bound, so the smaller
+# stream doesn't pay for the extra gaussian lanes), but the v3 store's
+# on-device pair compaction halves the per-batch host tail (25 vs 53
+# ms/core) and the store is ~4x smaller — so end-to-end screening at
+# production core counts is v3-bound at ~930k lig/s/chip vs v2's
+# host-bound ~38.7k/core. v2 remains the right choice when host cores
+# and disk are plentiful and the device marginal is the limit.
 STORE_VERSION = 2
 _READABLE_VERSIONS = (1, 2, 3)
 
