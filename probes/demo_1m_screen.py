@@ -159,21 +159,26 @@ def main() -> int:
     REPORT["replica_equality_checked"] = checked
     log(f"replica score equality: {checked} pairs ok")
 
+    # PERF_NOTES "stored-tail reconciliation": host tails tie at ~60k
+    # lig/s/core; the layouts differ in the per-batch STREAM (disk + PCIe
+    # + device<->host), which bounds every sustained transport
     REPORT["projection"] = (
         {
-            "host_tail_lig_per_sec_per_core": 81700,
+            "host_tail_lig_per_sec_per_core": 60700,
             "device_kernel_lig_per_sec_chip": 930000,
-            "note": "v3 store (PERF_NOTES 'v3 chip verdict'): real TPU "
-                    "host pipeline rate = min(device 930k/s, cores x "
-                    "81.7k/s host tail) — device-bound from ~12 cores",
+            "stream_mb_per_batch": 50.3,
+            "note": "v3 store: real TPU host (PCIe ~20 GB/s) pipeline = "
+                    "min(kernel 930k, stream ~950k, cores x 60.7k) — "
+                    "device-bound ~930k lig/s/chip from ~16 cores",
         }
         if store_v == 3
         else {
-            "host_tail_lig_per_sec_per_core": 38700,
+            "host_tail_lig_per_sec_per_core": 59600,
             "device_kernel_lig_per_sec_chip": 1480000,
-            "note": "v2 store: real TPU host pipeline rate = min(device "
-                    "1.48M/s, cores x 38.7k/s host tail) — host-bound "
-                    "through ~38 cores",
+            "stream_mb_per_batch": 245.4,
+            "note": "v2 store: real TPU host (PCIe ~20 GB/s) pipeline = "
+                    "min(kernel 1.48M, stream ~186k, cores x 59.6k) — "
+                    "stream-bound ~186k lig/s/chip",
         }
     )
     (Path("/root/repo") / "SCALE_1M.json").write_text(json.dumps(REPORT, indent=1))
