@@ -174,10 +174,11 @@ def test_v3_cli_roundtrip(corpus, tmp_path):
     r = subprocess.run(
         [sys.executable, "prepack.py", "--library", str(tmp_path / "lib.npz"),
          "-p", str(model_path), "--tiles_out", str(tmp_path / "tiles"),
-         "--tiles_version", "3", "--batch_size", "32"],
+         "--batch_size", "32"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr
+    # v3 (block-major) is the production default layout — pin it
     assert json.loads((tmp_path / "tiles" / "meta.json").read_text())[
         "version"] == 3
 
