@@ -217,6 +217,10 @@ class ScreenBatch:
     pair_slices: list  # per ligand: (start, end) into pair arrays
     ln: int
     cmax: int
+    # [B, Ln] int32 per-node type bitmask (0 on padding nodes). Optional:
+    # lets screen_v3 derive exact group keys from metadata instead of
+    # hashing expanded [NB, R] float tables (see group_ids_meta).
+    node_mask: np.ndarray | None = None
 
 
 def build_batch(
@@ -359,7 +363,7 @@ def _build_batch_python(
         pair_slices.append((pair_start, len(pair_threshold)))
 
     lmax = lmax or max(len(lig.clusters) for lig in ligands)
-    node_pos, num_conf, lig_center, lig_size = _ligand_arrays(ligands, ln, cmax, lmax)
+    node_pos, num_conf, lig_center, lig_size, node_mask_arr = _ligand_arrays(ligands, ln, cmax, lmax)
 
     return ScreenBatch(
         sub_mu=np.asarray(sub_mu, dtype=np.float32).reshape(-1, BLOCK_P),
@@ -381,6 +385,7 @@ def _build_batch_python(
         pair_slices=pair_slices,
         ln=ln,
         cmax=cmax,
+        node_mask=node_mask_arr,
     )
 
 
@@ -422,8 +427,10 @@ def _ligand_arrays(ligands, ln, cmax, lmax):
     num_conf = np.zeros(len(ligands), dtype=np.int32)
     lig_center = np.zeros((len(ligands), lmax, cmax, 3), dtype=np.float32)
     lig_size = np.zeros((len(ligands), lmax, cmax), dtype=np.float32)
+    node_mask = np.zeros((len(ligands), ln), dtype=np.int32)
     for li, lig in enumerate(ligands):
         n, c = lig.node_pos.shape[0], lig.num_conformers
+        node_mask[li, :n] = lig.node_mask
         node_pos[li, :n, :c] = lig.node_pos
         # repeat last conformer into padding (keeps distances finite)
         if c < cmax:
@@ -435,7 +442,7 @@ def _ligand_arrays(ligands, ln, cmax, lmax):
         if c < cmax:
             lig_center[li, :num_l, c:] = lig.cluster_center[:, -1:]
             lig_size[li, :num_l, c:] = lig.cluster_size[:, -1:]
-    return node_pos, num_conf, lig_center, lig_size
+    return node_pos, num_conf, lig_center, lig_size, node_mask
 
 
 @dataclass
@@ -600,7 +607,7 @@ def _build_batch_native(
         cap_np *= 4
 
     ns, nb, npairs = int(counts[0]), int(counts[1]), int(counts[2])
-    node_pos, num_conf, lig_center, lig_size = _ligand_arrays(ligands, ln, cmax, lmax)
+    node_pos, num_conf, lig_center, lig_size, node_mask_arr = _ligand_arrays(ligands, ln, cmax, lmax)
     return ScreenBatch(
         sub_mu=sub_mu[:ns], sub_std=sub_std[:ns], sub_w=sub_w[:ns],
         sub_d_idx=sub_d[:ns], sub_block=sub_block[:ns],
@@ -612,6 +619,7 @@ def _build_batch_native(
         ligand_clusters=cluster_counts, candidates=candidates_all,
         pair_slices=[(int(a), int(b)) for a, b in pair_slices],
         ln=ln, cmax=cmax,
+        node_mask=node_mask_arr,
     )
 
 
@@ -1026,7 +1034,9 @@ class BatchScreener:
         from .screen_v3 import build_v3_layout, pad_v3, padded_ends
 
         mn_max = int(batch.block_mn.max(initial=1))
-        vb = build_v3_layout(batch, mn_cap=_bucket_up(mn_max, 8))
+        vb = build_v3_layout(
+            batch, mn_cap=_bucket_up(mn_max, 8), model=self.packed_model
+        )
         t = vb.dt.shape[0]
         t_bucket = -(-_bucket_up(max(vb.nbt, 1), TILE) // TILE)
         if t_bucket > t:

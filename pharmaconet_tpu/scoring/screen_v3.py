@@ -97,35 +97,149 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def block_tables(batch, mn_cap: int | None = None):
-    """Per-block gaussian tables gathered from the sub-row arrays.
-
-    Returns (mu_b, std_b, w_b [NB, mn_cap], mn [NB], first_row [NB],
-    mn_cap). Padding entries: mu 0, std 1, w 0 (w == 0 marks invalid
-    slots, the same convention as the v2 winv tables)."""
+def _block_offsets(batch):
+    """(mn [NB] i64, first_row [NB] i64): block sizes + each block's first
+    sub-row. Emission appends a block's sub rows contiguously
+    (batch_screen.py emit_block); the native packer is element-equality-
+    tested against it."""
     nb = len(batch.block_mn)
-    p = batch.sub_mu.shape[1]
     rows_per_block = np.bincount(batch.sub_block, minlength=nb)
     first_row = np.zeros(nb, dtype=np.int64)
     np.cumsum(rows_per_block[:-1], out=first_row[1:])
-    # emission appends a block's sub rows contiguously (batch_screen.py
-    # emit_block); the native packer is element-equality-tested against it
     assert np.all(np.diff(batch.sub_block) >= 0), "sub_block not monotone"
+    return batch.block_mn.astype(np.int64), first_row
 
-    mn = batch.block_mn.astype(np.int64)
-    mn_cap = mn_cap or _round_up(max(int(mn.max(initial=1)), 1), 8)
-    if mn.max(initial=0) > mn_cap:
-        raise ValueError(f"mn {mn.max()} exceeds mn_cap {mn_cap}")
+
+def _expand_rows(batch, idx, mn, first_row, mn_cap):
+    """(mu, std, w) [len(idx), mn_cap] gaussian tables for the blocks in
+    `idx`. Padding entries: mu 0, std 1, w 0 (w == 0 marks invalid slots,
+    the same convention as the v2 winv tables)."""
+    p = batch.sub_mu.shape[1]
     k = np.arange(mn_cap)
-    valid = k[None, :] < mn[:, None]
+    valid = k[None, :] < mn[idx, None]
     # clamped reads are masked out by `valid` (np.where evaluates both arms)
-    row_idx = np.minimum(first_row[:, None] + k[None, :] // p,
+    row_idx = np.minimum(first_row[idx, None] + k[None, :] // p,
                          len(batch.sub_mu) - 1)
     slot = np.broadcast_to(k[None, :] % p, row_idx.shape)
     mu_b = np.where(valid, batch.sub_mu[row_idx, slot], 0.0).astype(np.float32)
     std_b = np.where(valid, batch.sub_std[row_idx, slot], 1.0).astype(np.float32)
     w_b = np.where(valid, batch.sub_w[row_idx, slot], 0.0).astype(np.float32)
+    return mu_b, std_b, w_b
+
+
+def block_tables(batch, mn_cap: int | None = None):
+    """Per-block gaussian tables gathered from the sub-row arrays.
+
+    Returns (mu_b, std_b, w_b [NB, mn_cap], mn [NB], first_row [NB],
+    mn_cap)."""
+    mn, first_row = _block_offsets(batch)
+    mn_cap = mn_cap or _round_up(max(int(mn.max(initial=1)), 1), 8)
+    if mn.max(initial=0) > mn_cap:
+        raise ValueError(f"mn {mn.max()} exceeds mn_cap {mn_cap}")
+    idx = np.arange(len(mn))
+    mu_b, std_b, w_b = _expand_rows(batch, idx, mn, first_row, mn_cap)
     return mu_b, std_b, w_b, mn, first_row, mn_cap
+
+
+def group_ids_meta(batch, model, mn, first_row, mn_cap, sample: int = 512):
+    """Exact group ids from metadata, without expanding [NB, R] tables.
+
+    A block's gaussian rows are emitted (batch_screen.py emit_block) from
+    the (p, q) sequence a_nodes x b_nodes, where a_nodes = the model nodes
+    of cluster m1 whose type bit is set in ligand node u's mask (in type-bit
+    order, batch_screen.py matched()) and b_nodes likewise from (v, m2).
+    mu/std/w are pure model-table lookups of (p, q). So the block's content
+    is exactly determined by the integer tuple
+
+        (node_mask[u] & avail[m1], m1, node_mask[v] & avail[m2], m2)
+
+    with avail[m] = the OR of type bits m has candidate nodes for (masked
+    bits with no nodes contribute nothing to a_nodes). Deduplicating on
+    this packed int64 key replaces the [NB, 3*mn_cap+1] float signature
+    hash of group_blocks — the hot phase of the v3 prepack (150+ s/2048-
+    ligand batch on a 1-vCPU box) — with [NB] integer ops (<1 s).
+
+    Returns (gid_of_block [NB] i64, group_sig [G, 3*mn_cap+1]) like
+    group_blocks, or None when the batch carries no node_mask metadata or
+    a sampled exact-content check fails (callers then fall back to the
+    content-hash path).
+
+    `sample` blocks are verified by expanding their rows and comparing to
+    their representative's — an exact guard for the derivation above
+    against future emit changes."""
+    node_mask = getattr(batch, "node_mask", None)
+    if node_mask is None or model is None:
+        return None
+    nb = len(mn)
+    ln = batch.ln
+    d_idx = batch.sub_d_idx[first_row].astype(np.int64)
+    li = d_idx // (ln * ln)
+    rem = d_idx % (ln * ln)
+    u = rem // ln
+    v = rem % ln
+    m1 = batch.pair_meta[batch.block_pair, 3].astype(np.int64)
+    m2 = batch.pair_meta[batch.block_pair, 4].astype(np.int64)
+    avail = np.asarray(
+        [
+            sum(1 << t for t, nodes in enumerate(per_cluster) if nodes)
+            for per_cluster in model.cluster_type_nodes
+        ],
+        dtype=np.int64,
+    )
+    n_clusters = len(avail)
+    if n_clusters >= (1 << 16) or int(node_mask.max(initial=0)) >= (1 << 8):
+        return None  # key packing would overflow; use the content hash
+    eff_u = node_mask[li, u].astype(np.int64) & avail[m1]
+    eff_v = node_mask[li, v].astype(np.int64) & avail[m2]
+    key = (eff_u << 40) | (m1 << 24) | (eff_v << 16) | m2
+    _, first_idx, gid_of_block = np.unique(
+        key, return_index=True, return_inverse=True
+    )
+    gid_of_block = gid_of_block.astype(np.int64).ravel()
+    rep_idx = first_idx.astype(np.int64)
+
+    # representative tables ([G, mn_cap] instead of [NB, mn_cap])
+    mu_g, std_g, w_g = _expand_rows(batch, rep_idx, mn, first_row, mn_cap)
+    group_sig = np.empty((len(rep_idx), 3 * mn_cap + 1), dtype=np.float32)
+    group_sig[:, :mn_cap] = mu_g
+    group_sig[:, mn_cap : 2 * mn_cap] = std_g
+    group_sig[:, 2 * mn_cap : 3 * mn_cap] = w_g
+    group_sig[:, 3 * mn_cap] = mn[rep_idx]
+
+    # distinct keys can share content (e.g. non-edge blocks all carry
+    # mu=0/std=1 and type-level weights): exact-dedup the representative
+    # signatures (a few hundred rows — trivial) so the partition equals
+    # the content-hash one and g_cap pressure doesn't grow
+    sig_view = np.ascontiguousarray(group_sig).view(
+        np.dtype((np.void, group_sig.shape[1] * 4))
+    ).ravel()
+    _, keep, merge = np.unique(sig_view, return_index=True, return_inverse=True)
+    if len(keep) < len(rep_idx):
+        group_sig = group_sig[keep]
+        mu_g, std_g, w_g = mu_g[keep], std_g[keep], w_g[keep]
+        rep_idx = rep_idx[keep]
+        gid_of_block = merge.astype(np.int64).ravel()[gid_of_block]
+
+    # sampled exact-content verification
+    s = min(nb, sample)
+    pick = np.random.default_rng(0xC0FFEE).choice(nb, size=s, replace=False)
+    mu_s, std_s, w_s = _expand_rows(batch, pick, mn, first_row, mn_cap)
+    g = gid_of_block[pick]
+    ok = (
+        np.array_equal(mu_s, mu_g[g])
+        and np.array_equal(std_s, std_g[g])
+        and np.array_equal(w_s, w_g[g])
+        and np.array_equal(mn[pick], mn[rep_idx][g])
+    )
+    if not ok:  # pragma: no cover - guards future emit-order changes
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "v3 metadata group keys disagree with block content on a "
+            "sample; falling back to content-hash grouping"
+        )
+        return None
+    return gid_of_block, group_sig
 
 
 def group_blocks(mu_b, std_b, w_b, mn):
@@ -210,20 +324,31 @@ def build_v3_layout(
     g_cap: int = V3_G_CAP,
     mn_cap: int | None = None,
     nbt: int | None = None,
+    model=None,
 ) -> V3Batch:
     """Build the v3 block-major layout from a ScreenBatch (or any object
     with its sub_*/block_*/pair_* fields, e.g. the native packer output).
 
     `nbt` pins the padded row count (for shard groups that must share
-    shapes); defaults to the natural tiled size."""
+    shapes); defaults to the natural tiled size. Passing the PackedModel
+    enables exact metadata group keys (group_ids_meta) — the fast path;
+    without it grouping falls back to hashing the expanded block tables."""
     np_real = len(batch.pair_threshold)
     nb = len(batch.block_mn)
     cmax = batch.cmax
     if nb == 0:
         return _empty_v3(batch, np_real, cmax, tile, g_cap, nbt)
 
-    mu_b, std_b, w_b, mn, first_row, mn_cap = block_tables(batch, mn_cap)
-    gid_of_block, group_sig = group_blocks(mu_b, std_b, w_b, mn)
+    mn, first_row = _block_offsets(batch)
+    mn_cap = mn_cap or _round_up(max(int(mn.max(initial=1)), 1), 8)
+    if mn.max(initial=0) > mn_cap:
+        raise ValueError(f"mn {mn.max()} exceeds mn_cap {mn_cap}")
+    grouped = group_ids_meta(batch, model, mn, first_row, mn_cap)
+    if grouped is None:
+        mu_b, std_b, w_b, _, _, _ = block_tables(batch, mn_cap)
+        gid_of_block, group_sig = group_blocks(mu_b, std_b, w_b, mn)
+    else:
+        gid_of_block, group_sig = grouped
     tables = group_table_rows(group_sig, mn_cap)  # [G, R]
 
     blk_pair = batch.block_pair.astype(np.int64)
@@ -254,46 +379,52 @@ def build_v3_layout(
 
     # --- greedy tile assembly: per TILE, take the longest pair prefix that
     # fits both the row budget and the group budget (binary search on the
-    # group count — the loop runs once per tile, not once per pair)
-    row_of_block = np.empty(nb, dtype=np.int64)
-    slot_of_block = np.empty(nb, dtype=np.int32)
-    pair_end = np.full(np_real, -1, np.int64)
-    tile_group_lists: list[np.ndarray] = []
-    pos = 0
-    cursor = 0
+    # group count — the loop runs once per tile, not once per pair). If a
+    # single pair alone exceeds the group budget, grow g_cap to the next
+    # power of two and redo ONLY this assembly (grouping/sorting above do
+    # not depend on g_cap).
     n_sorted = len(order)
-    while pos < n_sorted:
-        j = int(np.searchsorted(cum, cum[pos] + tile, side="right")) - 1
-        j = max(j, pos + 1)  # a single pair always fits the row budget
-        groups = np.unique(gids_sorted[cum[pos] : cum[j]])
-        if len(groups) > g_cap:
-            lo, hi = pos + 1, j  # largest j with <= g_cap distinct groups
-            while lo < hi:
-                mid = (lo + hi + 1) // 2
-                if len(np.unique(gids_sorted[cum[pos] : cum[mid]])) <= g_cap:
-                    lo = mid
-                else:
-                    hi = mid - 1
-            j = lo
+    while True:
+        row_of_block = np.empty(nb, dtype=np.int64)
+        slot_of_block = np.empty(nb, dtype=np.int32)
+        pair_end = np.full(np_real, -1, np.int64)
+        tile_group_lists: list[np.ndarray] = []
+        pos = 0
+        cursor = 0
+        grown = False
+        while pos < n_sorted:
+            j = int(np.searchsorted(cum, cum[pos] + tile, side="right")) - 1
+            j = max(j, pos + 1)  # a single pair always fits the row budget
             groups = np.unique(gids_sorted[cum[pos] : cum[j]])
             if len(groups) > g_cap:
-                # one pair alone exceeds the budget: grow it and rebuild
-                need = 1 << int(np.ceil(np.log2(len(groups))))
-                return build_v3_layout(
-                    batch, tile=tile, g_cap=need, mn_cap=mn_cap, nbt=nbt
-                )
-        span = int(cum[j] - cum[pos])
-        rows = cursor + np.arange(span)
-        blk = blocks_sorted[cum[pos] : cum[j]]
-        row_of_block[blk] = rows
-        # tile tables hold sorted unique gids: slot = searchsorted
-        slot_of_block[blk] = np.searchsorted(
-            groups, gids_sorted[cum[pos] : cum[j]]
-        ).astype(np.int32)
-        pair_end[order[pos:j]] = cursor + (cum[pos + 1 : j + 1] - cum[pos]) - 1
-        tile_group_lists.append(groups)
-        cursor = _round_up(cursor + span, tile)
-        pos = j
+                lo, hi = pos + 1, j  # largest j with <= g_cap distinct groups
+                while lo < hi:
+                    mid = (lo + hi + 1) // 2
+                    if len(np.unique(gids_sorted[cum[pos] : cum[mid]])) <= g_cap:
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                j = lo
+                groups = np.unique(gids_sorted[cum[pos] : cum[j]])
+                if len(groups) > g_cap:
+                    # one pair alone exceeds the budget: grow and retry
+                    g_cap = 1 << int(np.ceil(np.log2(len(groups))))
+                    grown = True
+                    break
+            span = int(cum[j] - cum[pos])
+            rows = cursor + np.arange(span)
+            blk = blocks_sorted[cum[pos] : cum[j]]
+            row_of_block[blk] = rows
+            # tile tables hold sorted unique gids: slot = searchsorted
+            slot_of_block[blk] = np.searchsorted(
+                groups, gids_sorted[cum[pos] : cum[j]]
+            ).astype(np.int32)
+            pair_end[order[pos:j]] = cursor + (cum[pos + 1 : j + 1] - cum[pos]) - 1
+            tile_group_lists.append(groups)
+            cursor = _round_up(cursor + span, tile)
+            pos = j
+        if not grown:
+            break
 
     nbt_real = int(
         row_of_block[blocks_sorted[-1]] + 1) if n_sorted else 0

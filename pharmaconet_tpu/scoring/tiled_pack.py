@@ -90,7 +90,7 @@ def build_tiled_batch(
 
     fl = _flatten_ligands(model, ligands, cmax=cmax)
     num_ligands = len(ligands)
-    node_pos, num_conf, lig_center, lig_size = _ligand_arrays(
+    node_pos, num_conf, lig_center, lig_size, _ = _ligand_arrays(
         ligands, fl.ln, fl.cmax, fl.lmax
     )
     threec = 3 * fl.cmax

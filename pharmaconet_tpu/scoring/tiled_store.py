@@ -341,7 +341,9 @@ def write_v3_store(
         if not live:
             return None, np.zeros(0, np.int32), len(chunk)
         batch = build_batch(model, [p for _, p in live], cmax=cmax)
-        vb = build_v3_layout(batch, mn_cap=mn_cap, g_cap=g_cap, nbt=nbt)
+        vb = build_v3_layout(
+            batch, mn_cap=mn_cap, g_cap=g_cap, nbt=nbt, model=model
+        )
         return vb, np.asarray([i for i, _ in live], np.int32), len(chunk)
 
     def save_vb(bi: int, vb, live_idx: np.ndarray, batch_len: int):

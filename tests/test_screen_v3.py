@@ -163,6 +163,42 @@ def test_v3_group_dedup_exact(rich_model, test_ligands):
     assert len(rep) < len(mu_b)
 
 
+def test_v3_meta_grouping_equals_content_hash(rich_model, test_ligands):
+    """group_ids_meta (the fast metadata-key dedup used at prepack time)
+    produces EXACTLY the content-hash partition: same block groups (up to
+    relabeling) and bit-identical group signatures. Guards the derivation
+    that a block's table content is determined by
+    (node_mask[u] & avail[m1], m1, node_mask[v] & avail[m2], m2)."""
+    from pharmaconet_tpu.scoring.batch_screen import PackedLigand
+    from pharmaconet_tpu.scoring.screen_v3 import (
+        _block_offsets,
+        block_tables,
+        group_blocks,
+        group_ids_meta,
+    )
+
+    packed = [PackedLigand.from_ligand(lig) for lig in test_ligands]
+    screener = BatchScreener(rich_model, engine="v3", pallas_interpret=True)
+    batch = build_batch(screener.packed_model, packed)
+    assert batch.node_mask is not None  # both packers emit it
+
+    mn, first_row = _block_offsets(batch)
+    mn_cap = 16
+    got = group_ids_meta(batch, screener.packed_model, mn, first_row, mn_cap)
+    assert got is not None
+    gid_m, sig_m = got
+
+    mu_b, std_b, w_b, _, _, _ = block_tables(batch, mn_cap)
+    gid_h, sig_h = group_blocks(mu_b, std_b, w_b, mn)
+
+    # bijection between the two labelings over every block
+    pairs = np.unique(np.stack([gid_m, gid_h], axis=1), axis=0)
+    assert len(pairs) == len(sig_m) == len(sig_h)
+    perm = np.empty(len(sig_m), dtype=np.int64)
+    perm[pairs[:, 0]] = pairs[:, 1]
+    np.testing.assert_array_equal(sig_m, sig_h[perm])
+
+
 def test_v3_matches_pallas_engine_big_batch(rich_model):
     """64 jittered copies: v3 and the v2 fused engine agree on a batch
     large enough to span multiple tiles and exercise bucketing."""
