@@ -160,8 +160,7 @@ def main(args) -> int:
             # store's single shape makes stacking free); leftovers and
             # empty batches run singly
             group: list = []
-            for bi in todo_batches:
-                sb = store.load(bi)
+            for bi, sb in store.iter_loaded(todo_batches):
                 if sb.empty:
                     emit(sb, None, bi * store.batch_size)
                     continue
@@ -178,9 +177,10 @@ def main(args) -> int:
                      gbi * store.batch_size)
         else:
             pending = None
-            for bi in todo_batches:
+            # prefetch thread pages batch i+1 in from disk while batch i
+            # is on the device / in the host tail
+            for bi, sb in store.iter_loaded(todo_batches):
                 base = bi * store.batch_size
-                sb = store.load(bi)
                 rows = None
                 if not sb.empty:
                     rows = base_screener.dispatch_stored(sb)

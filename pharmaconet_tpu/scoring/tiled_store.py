@@ -34,6 +34,7 @@ stack stored batches directly.
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import json
 from dataclasses import dataclass
@@ -155,6 +156,19 @@ class StoredV3Batch:
     @property
     def empty(self) -> bool:
         return self.dt is None
+
+
+def _page_in(batch) -> None:
+    """Force the disk read of a loaded batch's mmap-backed arrays.
+
+    Touches one byte per 4 KiB page so the OS readahead pulls the file
+    into the page cache on the calling (prefetch) thread instead of
+    faulting on the main thread mid-dispatch."""
+    for f in dataclasses.fields(batch):
+        a = getattr(batch, f.name)
+        if isinstance(a, np.memmap) and a.size:
+            flat = a.reshape(-1).view(np.uint8)
+            int(flat[::4096].sum(dtype=np.int64))
 
 
 def _dfs_arrays_from_tb(tb) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -512,6 +526,56 @@ class TiledStore:
             live_index=host["live_index"],
             batch_len=int(host["batch_len"]),
         )
+
+    def iter_loaded(self, indices, prefetch: int = 2, mmap: bool = True):
+        """Yield ``(bi, batch)`` for ``indices`` with a background loader.
+
+        ``load`` is mmap-backed, so with a plain loop the disk page-ins
+        happen lazily on the main thread, serialized with device dispatch.
+        Here a worker thread loads (and explicitly pages in) up to
+        ``prefetch`` batches ahead, overlapping disk I/O with the device
+        program and the host tail of the current batch. Order and content
+        are identical to calling ``load`` per index (CI-pinned)."""
+        import queue
+        import threading
+
+        indices = list(indices)
+        if not indices:
+            return
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for bi in indices:
+                    if stop.is_set():
+                        return
+                    b = self.load(bi, mmap=mmap)
+                    _page_in(b)
+                    q.put((bi, b))
+                q.put(None)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True, name="tile-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # unblock a producer waiting on a full queue, then reap it
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.1)
 
     def _load_v3(self, bdir: Path, host, mm) -> StoredV3Batch:
         m = self.meta

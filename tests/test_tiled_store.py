@@ -72,6 +72,40 @@ def test_stored_scores_equal_live_path(corpus, tmp_path):
     assert sum(1 for v in want if v > 0) >= 20, "corpus too easy"
 
 
+def test_iter_loaded_matches_load(corpus, tmp_path):
+    """The prefetching iterator yields exactly what per-index load does,
+    in order, for both store layouts (and survives early termination)."""
+    from pharmaconet_tpu.scoring.tiled_store import (
+        TiledStore, write_tiled_store, write_v3_store,
+    )
+
+    model, packed, names, _ = corpus
+    screener = BatchScreener(model, engine="pallas", pallas_interpret=True)
+    for label, writer in (("v2", write_tiled_store), ("v3", write_v3_store)):
+        writer(tmp_path / label, screener.packed_model, packed, names,
+               batch_size=16, verbose=False)
+        store = TiledStore(tmp_path / label, screener.packed_model)
+        order = list(range(store.n_batches))
+        seen = []
+        for bi, sb in store.iter_loaded(order, prefetch=2):
+            seen.append(bi)
+            want = store.load(bi)
+            assert sb.empty == want.empty
+            if not sb.empty:
+                np.testing.assert_array_equal(
+                    np.asarray(sb.dt if label == "v3" else sb.gtab),
+                    np.asarray(want.dt if label == "v3" else want.gtab),
+                )
+                np.testing.assert_array_equal(sb.prune, want.prune)
+                np.testing.assert_array_equal(sb.live_index, want.live_index)
+        assert seen == order
+        # subset + early break: the producer thread must be reaped cleanly
+        it = store.iter_loaded(order[1:], prefetch=1)
+        bi, _ = next(it)
+        assert bi == order[1]
+        it.close()
+
+
 def test_store_v2_dt_and_v1_fallback(corpus, tmp_path):
     """v2 stores carry prepack-time conformer distances (dt.npy) and score
     through the dt kernel; a v1 store (no dt, version=1) still loads and
