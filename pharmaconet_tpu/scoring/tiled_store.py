@@ -37,6 +37,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import logging
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -168,7 +169,9 @@ def _page_in(batch) -> None:
         a = getattr(batch, f.name)
         if isinstance(a, np.memmap) and a.size:
             flat = a.reshape(-1).view(np.uint8)
-            int(flat[::4096].sum(dtype=np.int64))
+            # .npy data is header-offset (not page-aligned), so the strided
+            # walk can miss the array's final page — touch the last byte too
+            int(flat[::4096].sum(dtype=np.int64)) + int(flat[-1])
 
 
 def _dfs_arrays_from_tb(tb) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -545,6 +548,17 @@ class TiledStore:
         q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put: recheck the stop flag so an abandoned (never
+            # GC'd) generator can't leave the producer blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for bi in indices:
@@ -552,10 +566,11 @@ class TiledStore:
                         return
                     b = self.load(bi, mmap=mmap)
                     _page_in(b)
-                    q.put((bi, b))
-                q.put(None)
+                    if not put((bi, b)):
+                        return
+                put(None)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True, name="tile-prefetch")
         t.start()
@@ -569,10 +584,19 @@ class TiledStore:
                 yield item
         finally:
             stop.set()
-            # unblock a producer waiting on a full queue, then reap it
+            # unblock a producer waiting on a full queue, then reap it;
+            # surface (don't swallow) a worker exception that raced the
+            # consumer's break and was already enqueued — logged rather
+            # than raised so it can't mask an in-flight consumer exception
+            # propagating through this finally
             while t.is_alive():
                 try:
-                    q.get_nowait()
+                    item = q.get_nowait()
+                    if isinstance(item, BaseException):
+                        logging.getLogger(__name__).warning(
+                            "tile-store prefetch worker failed during "
+                            "generator close: %r", item,
+                        )
                 except queue.Empty:
                     pass
                 t.join(timeout=0.1)
