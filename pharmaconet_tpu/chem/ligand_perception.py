@@ -94,10 +94,11 @@ def is_sulfate_sulfur(mol: Molecule, i: int) -> bool:
 
 
 def is_phosphate_phosphorus(mol: Molecule, i: int) -> bool:
+    # reference is_phosphate_P (ligand_utils.py:157-163) is vacuously True
+    # for a bond-less P (its neighbor loop never rejects) — matched exactly
     if mol.atoms[i].atomic_num != 15:
         return False
-    neighbors = mol.neighbors(i)
-    return len(neighbors) > 0 and all(mol.atoms[j].atomic_num == 8 for j in neighbors)
+    return all(mol.atoms[j].atomic_num == 8 for j in mol.neighbors(i))
 
 
 def is_carboxylate_carbon(mol: Molecule, i: int) -> bool:
