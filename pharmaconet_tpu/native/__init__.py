@@ -169,6 +169,31 @@ def get_match_dfs_mt():
     return lib.match_dfs_mt
 
 
+def get_match_dfs_leaves():
+    """Returns the ctypes match_dfs_leaves symbol (gated-tree leaf
+    enumeration for prepack-time baking), or None if unavailable."""
+    lib = _load("match_dfs", "match_dfs.cpp", "libmatchdfs.so",
+                extra_flags=("-pthread",))
+    if lib is None or not hasattr(lib, "match_dfs_leaves"):
+        return None
+    if not hasattr(lib.match_dfs_leaves, "_configured"):
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.match_dfs_leaves.restype = ctypes.c_int64
+        lib.match_dfs_leaves.argtypes = [
+            ctypes.c_int32,  # num_ligands
+            f32p, ctypes.c_int64,  # table, cmax
+            i64p, i32p,  # pair_starts, conformers
+            i32p, i32p,  # active_offsets, cand_counts
+            ctypes.c_int32, ctypes.c_int64,  # lmax, capacity
+            i8p, i64p,  # assign_out, leaf_offsets
+        ]
+        lib.match_dfs_leaves._configured = True
+    return lib.match_dfs_leaves
+
+
 def get_smi2graph():
     """Returns the ctypes smi2graph_batch symbol, or None if unavailable."""
     lib = _load("smi_graph", "smi_graph.cpp", "libsmigraph.so")

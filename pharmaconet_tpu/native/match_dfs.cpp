@@ -269,3 +269,129 @@ extern "C" void match_dfs(
     dfs_range(0, num_ligands, table, cmax, pair_starts, conformers,
               active_offsets, cand_counts, out_scores);
 }
+
+// ---------------------------------------------------------------------------
+// Leaf enumeration: walk the SAME gated tree as dfs() above but emit, for
+// every visited leaf, the assignment vector (candidate index per active
+// ligand cluster, -1 for None). The visited-leaf SET depends on the table
+// only through sign bits (pair > 0) and the match-count gate, so it can be
+// baked at prepack time and replayed on-device as a dense masked reduction
+// (scoring/leaf_tree.py) — the tree search leaves the screen-time host path
+// entirely.
+//
+// Conformer aliveness is tracked as bitmasks (cmax <= 64), making the walk
+// ~10x cheaper than the scoring DFS.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LeafCtx {
+    int n_active;
+    const int32_t* cand_counts;
+    std::vector<std::vector<int64_t>> cross_off;     // [i1][i2] ligand-relative
+    std::vector<uint64_t> posmask;                   // per ligand row: bit ci = table > 0
+    int8_t assign[64];
+    // emission
+    int8_t* out;
+    int32_t lmax;
+    int64_t cap;
+    int64_t count;  // keeps counting past cap (caller learns the need)
+};
+
+int leaf_rec(LeafCtx& ctx, int level, uint64_t alive, int num_matches) {
+    if (level >= ctx.n_active) {
+        if (ctx.count < ctx.cap) {
+            int8_t* row = ctx.out + ctx.count * ctx.lmax;
+            std::memset(row, -1, (size_t)ctx.lmax);
+            std::memcpy(row, ctx.assign, (size_t)ctx.n_active);
+        }
+        ++ctx.count;
+        return 0;
+    }
+    int max_matches = 0;
+    bool any_child = false;
+    for (int j = 0; j < ctx.cand_counts[level]; ++j) {
+        uint64_t m = alive;
+        for (int k = 0; k < level && m; ++k) {
+            const int8_t jk = ctx.assign[k];
+            if (jk < 0) continue;
+            const int64_t row = ctx.cross_off[(size_t)k][(size_t)level]
+                + (int64_t)jk * ctx.cand_counts[level] + j;
+            m &= ctx.posmask[(size_t)row];
+        }
+        if (!m) continue;
+        any_child = true;
+        ctx.assign[level] = j;
+        const int nm = leaf_rec(ctx, level + 1, m, num_matches + 1) + 1;
+        if (nm > max_matches) max_matches = nm;
+    }
+    if (!any_child || num_matches + max_matches < MIN_MATCHES) {
+        ctx.assign[level] = -1;
+        const int nm = leaf_rec(ctx, level + 1, alive, num_matches);
+        if (nm > max_matches) max_matches = nm;
+    }
+    return max_matches;
+}
+
+}  // namespace
+
+// Returns the total leaf count over all ligands (may exceed `capacity`; the
+// caller then re-allocates and reruns), or -1 when cmax > 64 / lmax too
+// small. assign_out rows are written ligand-major; leaf_offsets[li] is the
+// first leaf row of ligand li (always filled, even past capacity).
+extern "C" int64_t match_dfs_leaves(
+    int32_t num_ligands,
+    const float* table,          // [np_total, cmax]
+    int64_t cmax,
+    const int64_t* pair_starts,  // [B]
+    const int32_t* conformers,   // [B]
+    const int32_t* active_offsets,  // [B+1]
+    const int32_t* cand_counts,     // [sum active]
+    int32_t lmax,                // assign_out row stride (>= max n_active)
+    int64_t capacity,            // assign_out rows
+    int8_t* assign_out,          // [capacity, lmax]
+    int64_t* leaf_offsets        // [num_ligands + 1]
+) {
+    if (cmax > 64) return -1;
+    LeafCtx ctx;
+    ctx.out = assign_out;
+    ctx.lmax = lmax;
+    ctx.cap = capacity;
+    ctx.count = 0;
+    for (int32_t li = 0; li < num_ligands; ++li) {
+        leaf_offsets[li] = ctx.count;
+        const int32_t a_lo = active_offsets[li];
+        const int n = active_offsets[li + 1] - a_lo;
+        const int c = conformers[li];
+        if (n == 0 || c == 0) continue;
+        if (n > lmax || n > 64) return -1;
+        ctx.n_active = n;
+        ctx.cand_counts = cand_counts + a_lo;
+
+        // ligand-relative row offsets (same emission order as dfs_range)
+        int64_t row = 0;
+        for (int l = 0; l < n; ++l) row += ctx.cand_counts[l];
+        ctx.cross_off.assign((size_t)n, std::vector<int64_t>((size_t)n, -1));
+        for (int i1 = 0; i1 < n; ++i1) {
+            for (int i2 = i1 + 1; i2 < n; ++i2) {
+                ctx.cross_off[(size_t)i1][(size_t)i2] = row;
+                row += (int64_t)ctx.cand_counts[i1] * ctx.cand_counts[i2];
+            }
+        }
+        // sign bitmasks over this ligand's table rows
+        const float* tl = table + pair_starts[li] * cmax;
+        ctx.posmask.resize((size_t)row);
+        for (int64_t r = 0; r < row; ++r) {
+            uint64_t m = 0;
+            for (int ci = 0; ci < c; ++ci) {
+                if (tl[r * cmax + ci] > 0.0f) m |= (uint64_t)1 << ci;
+            }
+            ctx.posmask[(size_t)r] = m;
+        }
+        const uint64_t all_alive =
+            (c >= 64) ? ~(uint64_t)0 : (((uint64_t)1 << c) - 1);
+        leaf_rec(ctx, 0, all_alive, 0);
+    }
+    leaf_offsets[num_ligands] = ctx.count;
+    return ctx.count;
+}

@@ -916,7 +916,11 @@ class BatchScreener:
         native_pack: bool | None = None,
         pack_threads: int = 1,
     ):
-        self.packed_model = PackedModel.from_model(model, weights)
+        if isinstance(model, PackedModel):
+            assert weights is None, "weights are baked into a PackedModel"
+            self.packed_model = model
+        else:
+            self.packed_model = PackedModel.from_model(model, weights)
         self.engine = engine
         self.pallas_interpret = pallas_interpret
         self.pallas_fused = pallas_fused
@@ -1102,11 +1106,26 @@ class BatchScreener:
                 jnp.asarray(sb.tab), jnp.asarray(sb.aux),
             )
             if sb.ends_padded is not None:
-                return score_tiles_v3_pairs(
+                table = score_tiles_v3_pairs(
                     *args, jnp.asarray(sb.ends_padded), depth=sb.depth,
                     mn_cap=sb.mn_cap, g_cap=sb.g_cap,
                     interpret=self.pallas_interpret,
                 )
+                if getattr(sb, "leaf_rows", None) is not None:
+                    # prepack-baked leaves: the assignment search happens
+                    # on device as a dense masked reduction; the host tail
+                    # is reading [B] floats (scoring/leaf_tree.py)
+                    from .leaf_tree import leaf_scores_device
+
+                    return leaf_scores_device(
+                        table,
+                        jnp.asarray(sb.leaf_rows),
+                        jnp.asarray(sb.leaf_cross),
+                        jnp.asarray(sb.leaf_lig),
+                        jnp.asarray(sb.leaf_conf),
+                        n_lig=len(sb.leaf_conf),
+                    )
+                return table
             return score_tiles_v3_rows(
                 *args, depth=sb.depth, mn_cap=sb.mn_cap, g_cap=sb.g_cap,
                 interpret=self.pallas_interpret,
@@ -1126,7 +1145,14 @@ class BatchScreener:
         candidate arrays were precomputed at prepack time, so this is just
         the pair-row gather + the C++ DFS (~25 ms/batch/core vs ~214 ms
         for the full pack-at-screen-time path). v3 batches with device-side
-        compaction hand a ready [NPpad, c] pair table instead."""
+        compaction hand a ready [NPpad, c] pair table instead; leaf-baked
+        batches hand the final [B] score vector — no DFS at all."""
+        if getattr(sb, "leaf_rows", None) is not None:
+            live_scores = np.asarray(expanded_rows_dev, dtype=np.float64)
+            scores = [0.0] * sb.batch_len
+            for i, s in zip(sb.live_index, live_scores):
+                scores[int(i)] = float(s)
+            return scores
         if getattr(sb, "ends_padded", None) is not None:
             table = np.asarray(expanded_rows_dev)[
                 : len(sb.pair_end_rows)].copy()

@@ -146,6 +146,13 @@ class StoredV3Batch:
     # pair-compaction program (v3's group-sorted rows make host-side
     # compaction a scattered gather; see score_tiles_v3_pairs)
     ends_padded: np.ndarray | None = None
+    # prepack-baked assignment-tree leaves (scoring/leaf_tree.py): with
+    # these set, the screen-time host tail is reading [B] floats — the
+    # DFS never runs. None for stores written with bake_leaves=False.
+    leaf_rows: np.ndarray | None = None  # [NL, R] i32 into the device table
+    leaf_cross: np.ndarray | None = None  # [NL, R] bool
+    leaf_lig: np.ndarray | None = None  # [NL] i32 live-ligand segment ids
+    leaf_conf: np.ndarray | None = None  # [store batch_size] i32 conformers
 
     @property
     def dfs_arrays(self):
@@ -327,6 +334,7 @@ def write_v3_store(
     batch_size: int = 2048,
     threads: int = 1,
     verbose: bool = True,
+    bake_leaves: bool = True,
 ) -> dict:
     """Pack the library into a version-3 (block-major) tile store.
 
@@ -337,8 +345,18 @@ def write_v3_store(
     share one device shape: (t, mn_cap, g_cap) natural per batch in pass
     1, then outlier batches are re-emitted at the library maxima in pass
     2 (t grows by neutral-tile padding without repacking; mn_cap/g_cap
-    growth rebuilds the layout from a fresh pack)."""
-    from .batch_screen import build_batch, host_prune_mask
+    growth rebuilds the layout from a fresh pack).
+
+    With `bake_leaves` (default), the assignment-tree search runs ONCE
+    here per batch and its visited leaves are stored as device row-index
+    arrays (scoring/leaf_tree.py) — the screen-time host tail drops from
+    the C++ DFS (~25-34 ms/2048-batch/core) to reading [B] floats."""
+    from .batch_screen import (
+        BatchScreener,
+        build_batch,
+        compact_pair_table,
+        host_prune_mask,
+    )
     from .screen_tiles import TILE
     from .screen_v3 import V3_G_CAP, _neutral_aux, build_v3_layout
 
@@ -351,19 +369,22 @@ def write_v3_store(
 
     t_max, mn_max, g_max, depth_max = 0, 8, V3_G_CAP, 0
     shapes: list[tuple[int, int, int] | None] = []  # (t, mn_cap, g_cap)
+    scorer = BatchScreener(model, engine="xla") if bake_leaves else None
+    nl_max, r_max = 0, 1  # leaf-array maxima (pass-2 unification)
 
     def build_vb_for(bi: int, mn_cap=None, g_cap=V3_G_CAP, nbt=None):
         chunk = packed[bi * batch_size : (bi + 1) * batch_size]
         live = [(i, p) for i, p in enumerate(chunk) if p.clusters]
         if not live:
-            return None, np.zeros(0, np.int32), len(chunk)
+            return None, None, np.zeros(0, np.int32), len(chunk)
         batch = build_batch(model, [p for _, p in live], cmax=cmax)
         vb = build_v3_layout(
             batch, mn_cap=mn_cap, g_cap=g_cap, nbt=nbt, model=model
         )
-        return vb, np.asarray([i for i, _ in live], np.int32), len(chunk)
+        return vb, batch, np.asarray([i for i, _ in live], np.int32), len(chunk)
 
-    def save_vb(bi: int, vb, live_idx: np.ndarray, batch_len: int):
+    def save_vb(bi: int, vb, batch, live_idx: np.ndarray, batch_len: int):
+        nonlocal nl_max, r_max
         bdir = out / "batches" / f"{bi:05d}"
         bdir.mkdir(exist_ok=True)
         if vb is None:
@@ -383,10 +404,35 @@ def write_v3_store(
             dfs_active_offsets=ao, dfs_cand_counts=cc,
             live_index=live_idx, batch_len=np.asarray(batch_len),
         )
+        if scorer is not None:
+            # bake the assignment-tree leaves against the final host table
+            # (empty pairs 0.0, pruned -1.0 — what _dfs_scores consumes)
+            from .leaf_tree import (
+                build_leaf_arrays,
+                enumerate_leaves,
+                redirect_empty_pairs,
+            )
+
+            expanded = np.asarray(scorer.run_device(batch))
+            table = compact_pair_table(batch, expanded)
+            table[: len(prune)][prune] = -1.0
+            assign, offsets = enumerate_leaves(vb, table)
+            np_real = len(vb.pair_end_rows)
+            lb = build_leaf_arrays(
+                vb, assign, offsets, np_total=np_real, prune=prune
+            )
+            lb = redirect_empty_pairs(lb, vb.pair_end_rows, np_real)
+            # sentinel indices sit at np_real; pass 2 shifts them to the
+            # library-wide np_pad once it is known
+            np.save(bdir / "leaf_rows.npy", lb.rows)
+            np.save(bdir / "leaf_cross.npy", lb.cross)
+            np.save(bdir / "leaf_lig.npy", lb.lig)
+            nl_max = max(nl_max, lb.rows.shape[0])
+            r_max = max(r_max, lb.rows.shape[1])
 
     np_max = 0
     for bi in range(n_batches):
-        vb, live_idx, blen = build_vb_for(bi)
+        vb, batch, live_idx, blen = build_vb_for(bi)
         if vb is not None:
             t = vb.dt.shape[0]
             t_max = max(t_max, t)
@@ -397,7 +443,7 @@ def write_v3_store(
             shapes.append((t, vb.mn_cap, vb.g_cap))
         else:
             shapes.append(None)
-        save_vb(bi, vb, live_idx, blen)
+        save_vb(bi, vb, batch, live_idx, blen)
         if verbose and (bi + 1) % 50 == 0:
             print(f"packed {bi + 1}/{n_batches} v3 batches (T {t_max})")
 
@@ -410,10 +456,10 @@ def write_v3_store(
         bdir = out / "batches" / f"{bi:05d}"
         if mn_cap != mn_max:
             # table row layout changes with mn_cap: rebuild from a pack
-            vb, live_idx, blen = build_vb_for(
+            vb, batch, live_idx, blen = build_vb_for(
                 bi, mn_cap=mn_max, g_cap=g_max, nbt=t_max * TILE
             )
-            save_vb(bi, vb, live_idx, blen)
+            save_vb(bi, vb, batch, live_idx, blen)
             repacked += 1
             continue
         # same mn_cap: grow by padding (slot ids are table-prefix indices,
@@ -443,6 +489,42 @@ def write_v3_store(
         print(f"pass 2: {padded} batches padded, {repacked} rebuilt "
               f"to (T={t_max}, mn_cap={mn_max}, g_cap={g_max})")
 
+    np_pad = max(8, ((np_max + 7) // 8) * 8)
+    nl_pad = max(8, ((nl_max + 7) // 8) * 8)
+    if scorer is not None:
+        # pass 2b: shift the leaf sentinel rows from the per-batch np_real
+        # to the library-wide np_pad (the screen-time device table shape)
+        # and pad every batch's leaf arrays to the common (nl_pad, r_max)
+        for bi in range(n_batches):
+            bdir = out / "batches" / f"{bi:05d}"
+            rows_path = bdir / "leaf_rows.npy"
+            if not rows_path.exists():
+                continue
+            rows = np.load(rows_path)
+            cross = np.load(bdir / "leaf_cross.npy")
+            lig = np.load(bdir / "leaf_lig.npy")
+            np_real = len(np.load(bdir / "host.npz")["pair_end_rows"])
+            rows = np.where(
+                rows >= np_real, rows + (np_pad - np_real), rows
+            ).astype(np.int32)
+            nl, r = rows.shape
+            if r < r_max:
+                pad = np.full((nl, r_max - r), np_pad, np.int32)
+                rows = np.concatenate([rows, pad], axis=1)
+                cross = np.concatenate(
+                    [cross, np.zeros((nl, r_max - r), bool)], axis=1)
+            if nl < nl_pad:
+                rows = np.concatenate(
+                    [rows, np.full((nl_pad - nl, r_max), np_pad, np.int32)])
+                cross = np.concatenate(
+                    [cross, np.zeros((nl_pad - nl, r_max), bool)])
+                # padding leaves join the discard segment (= batch_size)
+                lig = np.concatenate(
+                    [lig, np.full(nl_pad - nl, batch_size, np.int32)])
+            np.save(rows_path, rows)
+            np.save(bdir / "leaf_cross.npy", cross)
+            np.save(bdir / "leaf_lig.npy", lig.astype(np.int32))
+
     np.save(out / "names.npy", np.asarray(names))
     meta = dict(
         version=3,
@@ -454,9 +536,12 @@ def write_v3_store(
         mn_cap=mn_max,
         g_cap=g_max,
         depth=depth_max,
-        np_pad=max(8, ((np_max + 7) // 8) * 8),
+        np_pad=np_pad,
         fingerprint=model_fingerprint(model),
     )
+    if scorer is not None:
+        meta["leaf_nl"] = nl_pad
+        meta["leaf_r"] = r_max
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
     return meta
 
@@ -618,11 +703,33 @@ class TiledStore:
             )
         from .screen_v3 import padded_ends
 
+        has_leaves = "leaf_nl" in m and (bdir / "leaf_rows.npy").exists()
         return StoredV3Batch(
             dt=np.load(bdir / "dt.npy", mmap_mode=mm),
             gid=np.load(bdir / "gid.npy", mmap_mode=mm),
             tab=np.load(bdir / "tab.npy", mmap_mode=mm),
             aux=np.load(bdir / "aux.npy", mmap_mode=mm),
+            leaf_rows=(
+                np.load(bdir / "leaf_rows.npy", mmap_mode=mm)
+                if has_leaves else None
+            ),
+            leaf_cross=(
+                np.load(bdir / "leaf_cross.npy", mmap_mode=mm)
+                if has_leaves else None
+            ),
+            leaf_lig=(
+                np.load(bdir / "leaf_lig.npy", mmap_mode=mm)
+                if has_leaves else None
+            ),
+            # conformer counts padded to the store batch size so every
+            # batch shares one leaf-evaluation program shape
+            leaf_conf=(
+                np.pad(
+                    host["dfs_conformers"].astype(np.int32),
+                    (0, m["batch_size"] - len(host["dfs_conformers"])),
+                )
+                if has_leaves else None
+            ),
             # np_pad is store-wide, so the compaction program keeps one
             # shape; older v3 stores without it fall back to host compaction
             ends_padded=(
