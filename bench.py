@@ -303,17 +303,30 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     packed = make_synthetic_ligands(batch_size)
     tmp = tempfile.mkdtemp(prefix="bench_store_")
     # BENCH_STORE=v3 measures the block-major store's host tail (smaller
-    # mmap stream; same compact/prune/DFS)
+    # mmap stream); BENCH_LEAVES=0 opts the v3 store out of prepack-baked
+    # leaves to measure the legacy compact/prune/DFS tail instead of the
+    # leaf-path float gather
     v3 = os.environ.get("BENCH_STORE", "v2") == "v3"
-    writer = write_v3_store if v3 else write_tiled_store
-    writer(
-        tmp, screener.packed_model, packed,
-        [f"l{i}" for i in range(batch_size)],
-        batch_size=batch_size, verbose=False,
-    )
+    if v3:
+        write_v3_store(
+            tmp, screener.packed_model, packed,
+            [f"l{i}" for i in range(batch_size)],
+            batch_size=batch_size, verbose=False,
+            bake_leaves=os.environ.get("BENCH_LEAVES", "1") != "0",
+        )
+    else:
+        write_tiled_store(
+            tmp, screener.packed_model, packed,
+            [f"l{i}" for i in range(batch_size)],
+            batch_size=batch_size, verbose=False,
+        )
     store = TiledStore(tmp, screener.packed_model)
     sb = store.load(0)
-    if v3:
+    if v3 and sb.leaf_rows is not None:
+        # baked-leaf contract: the device hands back the final [n_lig]
+        # score vector; the host tail is load + a float gather
+        rows_shape = (len(sb.leaf_conf),)
+    elif v3:
         # device-compacted contract: the host tail receives the [NPpad, c]
         # pair table, not the expanded rows
         rows_shape = (
@@ -337,11 +350,16 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     import statistics
 
     per_batch = statistics.median(times)
+    leaves = v3 and sb.leaf_rows is not None
+    tail = (
+        "load+score-gather; assignment tree baked at prepack"
+        if leaves
+        else "load+compact+prune+dfs; pack was paid at prepack time"
+    )
     print(
-        f"[bench] stored-pipeline ({'v3' if v3 else 'v2'}): "
-        f"{per_batch*1e3:.0f} ms/batch -> "
-        f"{batch_size/per_batch:,.0f} lig/s per host core "
-        "(load+compact+prune+dfs; pack was paid at prepack time)",
+        f"[bench] stored-pipeline ({'v3+leaves' if leaves else 'v3' if v3 else 'v2'}): "
+        f"{per_batch*1e3:.2f} ms/batch -> "
+        f"{batch_size/per_batch:,.0f} lig/s per host core ({tail})",
         file=sys.stderr,
     )
     return batch_size / per_batch

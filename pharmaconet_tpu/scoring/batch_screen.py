@@ -1153,6 +1153,11 @@ class BatchScreener:
             for i, s in zip(sb.live_index, live_scores):
                 scores[int(i)] = float(s)
             return scores
+        if getattr(sb, "pair_end_rows", 0) is None:
+            # leaf-baked load deferred the DFS-tail fields; this batch is
+            # taking a non-leaf fallback (mixed sharded group / stripped
+            # leaves), so materialize them now
+            sb.ensure_host_fields()
         if getattr(sb, "ends_padded", None) is not None:
             table = np.asarray(expanded_rows_dev)[
                 : len(sb.pair_end_rows)].copy()

@@ -134,12 +134,17 @@ class StoredV3Batch:
     depth: int  # library-max pair-scan depth (deeper-than-needed is a no-op)
     mn_cap: int
     g_cap: int
-    pair_end_rows: np.ndarray
-    prune: np.ndarray
-    dfs_pair_starts: np.ndarray
-    dfs_conformers: np.ndarray
-    dfs_active_offsets: np.ndarray
-    dfs_cand_counts: np.ndarray
+    # DFS-tail fields. Leaf-baked batches load these LAZILY (None +
+    # host_path set): the leaf path never touches them, and skipping the
+    # host.npz reads (~4 MB/batch) more than halves the per-batch load
+    # cost. ensure_host_fields() materializes them for the rare fallbacks
+    # (mixed sharded groups, leaf-stripped tests).
+    pair_end_rows: np.ndarray | None
+    prune: np.ndarray | None
+    dfs_pair_starts: np.ndarray | None
+    dfs_conformers: np.ndarray | None
+    dfs_active_offsets: np.ndarray | None
+    dfs_cand_counts: np.ndarray | None
     live_index: np.ndarray
     batch_len: int
     # [NPpad] i32 — store-wide padded pair-end rows for the on-device
@@ -153,9 +158,24 @@ class StoredV3Batch:
     leaf_cross: np.ndarray | None = None  # [NL, R] bool
     leaf_lig: np.ndarray | None = None  # [NL] i32 live-ligand segment ids
     leaf_conf: np.ndarray | None = None  # [store batch_size] i32 conformers
+    # host.npz path backing the lazy DFS-tail fields (leaf-baked loads)
+    host_path: str | None = None
+
+    def ensure_host_fields(self) -> None:
+        """Materialize the lazily-skipped DFS-tail fields from host.npz."""
+        if self.pair_end_rows is not None or self.host_path is None:
+            return
+        h = np.load(self.host_path)
+        self.pair_end_rows = h["pair_end_rows"]
+        self.prune = h["prune"]
+        self.dfs_pair_starts = h["dfs_pair_starts"]
+        self.dfs_conformers = h["dfs_conformers"]
+        self.dfs_active_offsets = h["dfs_active_offsets"]
+        self.dfs_cand_counts = h["dfs_cand_counts"]
 
     @property
     def dfs_arrays(self):
+        self.ensure_host_fields()
         return (
             self.dfs_pair_starts, self.dfs_conformers,
             self.dfs_active_offsets, self.dfs_cand_counts,
@@ -491,6 +511,16 @@ def write_v3_store(
 
     np_pad = max(8, ((np_max + 7) // 8) * 8)
     nl_pad = max(8, ((nl_max + 7) // 8) * 8)
+    # pass 2c: store the device-compaction ends per batch as an mmap-able
+    # .npy — loads skip the multi-MB host.npz pair_end_rows read entirely
+    from .screen_v3 import padded_ends as _padded_ends
+
+    for bi in range(n_batches):
+        bdir = out / "batches" / f"{bi:05d}"
+        host = np.load(bdir / "host.npz")
+        if "empty" in host:
+            continue
+        np.save(bdir / "ends.npy", _padded_ends(host["pair_end_rows"], np_pad))
     if scorer is not None:
         # pass 2b: shift the leaf sentinel rows from the per-batch np_real
         # to the library-wide np_pad (the screen-time device table shape)
@@ -704,6 +734,21 @@ class TiledStore:
         from .screen_v3 import padded_ends
 
         has_leaves = "leaf_nl" in m and (bdir / "leaf_rows.npy").exists()
+        # stores written since the ends.npy pass mmap the padded ends
+        # instead of re-deriving them from the 8-byte-per-pair signed copy
+        # in host.npz on every load
+        ends_path = bdir / "ends.npy"
+        if ends_path.exists():
+            ends = np.load(ends_path, mmap_mode=mm)
+        elif "np_pad" in m:
+            ends = padded_ends(host["pair_end_rows"], m["np_pad"])
+        else:
+            # pre-np_pad v3 store: host-side compaction fallback
+            ends = None
+        # the leaf path never touches the DFS-tail fields; defer their
+        # host.npz reads to ensure_host_fields() (rare fallbacks only)
+        lazy = has_leaves and ends is not None
+        conformers = host["dfs_conformers"]
         return StoredV3Batch(
             dt=np.load(bdir / "dt.npy", mmap_mode=mm),
             gid=np.load(bdir / "gid.npy", mmap_mode=mm),
@@ -725,27 +770,23 @@ class TiledStore:
             # batch shares one leaf-evaluation program shape
             leaf_conf=(
                 np.pad(
-                    host["dfs_conformers"].astype(np.int32),
-                    (0, m["batch_size"] - len(host["dfs_conformers"])),
+                    conformers.astype(np.int32),
+                    (0, m["batch_size"] - len(conformers)),
                 )
                 if has_leaves else None
             ),
-            # np_pad is store-wide, so the compaction program keeps one
-            # shape; older v3 stores without it fall back to host compaction
-            ends_padded=(
-                padded_ends(host["pair_end_rows"], m["np_pad"])
-                if "np_pad" in m else None
-            ),
+            ends_padded=ends,
             # library-max shape params: every batch was brought to the
             # common (t, mn_cap, g_cap) at write time, and running the
             # pair scan deeper than a batch needs is a no-op
             depth=m["depth"], mn_cap=m["mn_cap"], g_cap=m["g_cap"],
-            pair_end_rows=host["pair_end_rows"],
-            prune=host["prune"],
-            dfs_pair_starts=host["dfs_pair_starts"],
-            dfs_conformers=host["dfs_conformers"],
-            dfs_active_offsets=host["dfs_active_offsets"],
-            dfs_cand_counts=host["dfs_cand_counts"],
+            pair_end_rows=None if lazy else host["pair_end_rows"],
+            prune=None if lazy else host["prune"],
+            dfs_pair_starts=None if lazy else host["dfs_pair_starts"],
+            dfs_conformers=conformers,
+            dfs_active_offsets=None if lazy else host["dfs_active_offsets"],
+            dfs_cand_counts=None if lazy else host["dfs_cand_counts"],
             live_index=host["live_index"],
             batch_len=int(host["batch_len"]),
+            host_path=str(bdir / "host.npz") if lazy else None,
         )
