@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "to embed per SMILES (default 8)")
     parser.add_argument("--cpus", type=int, default=1,
                         help="worker processes for parsing")
+    parser.add_argument("--embed_backend", type=str, default="auto",
+                        choices=("auto", "numpy", "jax"),
+                        help="--smiles conformer embedding: 'jax' runs the "
+                             "whole distance-geometry pipeline on the "
+                             "attached device (one dispatch per chunk), "
+                             "'numpy' stays on host (multiprocess-friendly); "
+                             "auto = device when attached and --cpus 1")
 
     tiles = parser.add_argument_group("tile store (model-specific)")
     tiles.add_argument("--tiles_out", type=str,
@@ -85,7 +92,7 @@ def main(args) -> int:
     elif args.smiles:
         packed, names = build_library_from_smiles(
             args.smiles, num_conformers=args.num_conformers or 8,
-            cpus=args.cpus,
+            cpus=args.cpus, embed_backend=args.embed_backend,
         )
         print(f"embedded + packed {len(packed)} SMILES from {args.smiles}")
     else:

@@ -162,20 +162,34 @@ def build_library_from_smiles(
     num_conformers: int = 8,
     cpus: int = 1,
     seed: int = 2025,
+    embed_backend: str = "auto",
 ) -> tuple[list[PackedLigand], list[str]]:
     """Parse + embed + perceive + pack a SMILES library (skips failures).
 
     The reference cannot do this at scale — its scoring_smiles embeds one
     molecule per call with RDKit (pharmacophore_model.py:92-99); here a
     whole .smi file prepacks through chem/embed.py (or see prepack.py for
-    the persisted form that composes with tile stores and resume)."""
+    the persisted form that composes with tile stores and resume).
+
+    embed_backend "auto" picks the device pipeline when an accelerator is
+    attached and no worker pool was requested; "numpy"/"jax" force it."""
     from .parse_pool import iter_embedded
+
+    if embed_backend == "auto" and cpus <= 1:
+        try:
+            import jax
+
+            if jax.default_backend() != "cpu":
+                embed_backend = "jax"
+        except Exception:  # noqa: BLE001 - jax is optional for this path
+            pass
 
     entries = read_smiles_file(path)
     packed: list[PackedLigand] = []
     names: list[str] = []
     for name, ligand in iter_embedded(
-        entries, cpus=cpus, num_conformers=num_conformers, seed=seed
+        entries, cpus=cpus, num_conformers=num_conformers, seed=seed,
+        backend=embed_backend,
     ):
         try:
             packed.append(PackedLigand.from_ligand(ligand))

@@ -36,15 +36,41 @@ def iter_parsed(
     yield from _run_jobs(_parse_one, jobs, cpus, chunksize)
 
 
-def _embed_one(job: tuple[str, str, int, int]):
-    name, smiles, num_conformers, seed = job
+def _embed_chunk_job(job):
+    """Parse + batch-embed one chunk of (name, smiles, seed) entries.
+
+    Batching molecules through embed_conformers_many amortizes the MDS /
+    refinement over one bucketed array program instead of per-molecule
+    numpy dispatches; per-molecule rng streams keep the result for each
+    molecule independent of the chunking."""
+    entries, num_conformers, backend = job
+    from pharmaconet_tpu.chem.embed import embed_conformers_many
+    from pharmaconet_tpu.chem.smiles import parse_smiles
     from pharmaconet_tpu.scoring.ligand import Ligand
 
-    try:
-        return name, Ligand.from_smiles_dg(smiles, num_conformers, seed=seed)
-    except Exception as e:  # noqa: BLE001 - tolerant library iteration
-        print(f"skip {name} ({smiles}): {e}", file=sys.stderr)
-        return None
+    parsed = []
+    for name, smi, seed in entries:
+        try:
+            mol = parse_smiles(smi)
+            if any(a.atomic_num == 1 for a in mol.atoms):
+                mol = mol.strip_hydrogens()
+            parsed.append((name, smi, seed, mol))
+        except Exception as e:  # noqa: BLE001 - tolerant library iteration
+            print(f"skip {name} ({smi}): {e}", file=sys.stderr)
+    confs = embed_conformers_many(
+        [m for *_x, m in parsed],
+        num_conformers,
+        seeds=[s for _n, _s2, s, _m in parsed],
+        backend=backend,
+    )
+    results = []
+    for (name, smi, seed, mol), c in zip(parsed, confs):
+        if isinstance(c, Exception):
+            print(f"skip {name} ({smi}): {c}", file=sys.stderr)
+            continue
+        mol.coords = c[0]
+        results.append((name, Ligand(mol, c, conformer_axis=0)))
+    return results
 
 
 def iter_embedded(
@@ -52,18 +78,31 @@ def iter_embedded(
     cpus: int = 1,
     num_conformers: int = 8,
     seed: int = 2025,
-    chunksize: int = 4,
+    chunksize: int = 64,
+    backend: str = "auto",
 ) -> Iterator[tuple[str, object]]:
     """Yield (name, Ligand) for (name, smiles) entries via the in-house
     distance-geometry embedder (chem/embed.py), skipping failures.
 
-    Each entry embeds with seed + its index, so results are deterministic
-    and independent of cpus/chunksize."""
+    Each entry embeds with seed + its index from its own rng stream, so
+    results are deterministic and independent of cpus/chunksize. backend
+    "jax" runs each embed chunk as one device program (the TPU prepack
+    path — forces cpus=1 so workers never touch the device runtime)."""
     jobs = [
-        (name, smi, num_conformers, seed + i)
-        for i, (name, smi) in enumerate(entries)
+        (
+            [
+                (name, smi, seed + i + c0)
+                for i, (name, smi) in enumerate(entries[c0 : c0 + chunksize])
+            ],
+            num_conformers,
+            backend,
+        )
+        for c0 in range(0, len(entries), chunksize)
     ]
-    yield from _run_jobs(_embed_one, jobs, cpus, chunksize)
+    if backend == "jax":
+        cpus = 1
+    for chunk_results in _run_jobs(_embed_chunk_job, jobs, cpus, 1):
+        yield from chunk_results
 
 
 def _run_jobs(fn, jobs, cpus: int, chunksize: int) -> Iterator:

@@ -103,6 +103,75 @@ def test_determinism_and_seed_sensitivity():
     assert np.abs(a - c).max() > 1e-3
 
 
+def test_batch_equals_single_and_chunk_invariance():
+    """embed_conformers_many is the implementation: each molecule's
+    result is bit-identical to its solo embed and independent of batch
+    composition / chunk boundaries (per-molecule rng streams)."""
+    from pharmaconet_tpu.chem import embed as E
+
+    mols = [parse_smiles(PANEL[k]) for k in sorted(PANEL)]
+    seeds = list(range(100, 100 + len(mols)))
+    batch = E.embed_conformers_many(mols, 3, seeds=seeds)
+    for mol, seed, got in zip(mols, seeds, batch):
+        np.testing.assert_array_equal(got, embed_conformers(mol, 3, seed=seed))
+    old = E._CHUNK_ROWS
+    try:
+        E._CHUNK_ROWS = 6  # 2 molecules per chunk at count=3
+        rechunked = E.embed_conformers_many(mols, 3, seeds=seeds)
+    finally:
+        E._CHUNK_ROWS = old
+    for a, b in zip(batch, rechunked):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_batch_tolerates_per_molecule_failure():
+    """One bad molecule yields its Exception in place without sinking
+    the rest of the batch."""
+    from pharmaconet_tpu.chem import embed as E
+    from pharmaconet_tpu.chem.smallmol import Molecule
+
+    good = parse_smiles(PANEL["aspirin"])
+    out = E.embed_conformers_many([good, Molecule(), good], 2, seed=3)
+    assert isinstance(out[1], Exception)
+    assert not isinstance(out[0], Exception)
+    assert not isinstance(out[2], Exception)
+    assert out[0].shape == out[2].shape == (2, good.num_atoms, 3)
+
+
+def test_jax_backend_gates_and_determinism():
+    """The device pipeline (smooth+sample+MDS+refine in one program) must
+    satisfy the same geometry gates and be deterministic per seed. Runs
+    on whatever jax backend the test session pins (CPU here; the same
+    program serves the TPU)."""
+    pytest.importorskip("jax")
+    from pharmaconet_tpu.chem import embed as E
+
+    mols = [parse_smiles(PANEL[k]) for k in ("benzene", "aspirin", "caffeine")]
+    old = E._CHUNK_ROWS
+    try:
+        E._CHUNK_ROWS = 8  # small fixed chunks: cheap CPU compile
+        a = E.embed_conformers_many(mols, 2, seed=7, backend="jax")
+        b = E.embed_conformers_many(mols, 2, seed=7, backend="jax")
+    finally:
+        E._CHUNK_ROWS = old
+    for mol, x1, x2 in zip(mols, a, b):
+        assert not isinstance(x1, Exception)
+        np.testing.assert_array_equal(x1, x2)
+        assert x1.shape == (2, mol.num_atoms, 3)
+        for bond in mol.bonds:
+            d = np.linalg.norm(x1[:, bond.a] - x1[:, bond.b], axis=-1)
+            target = _bond_length(mol, bond.a, bond.b, bond.order)
+            assert np.abs(d - target).max() < 0.12
+        for ring in mol.aromatic_rings():
+            for c in range(x1.shape[0]):
+                pts = x1[c, list(ring)].astype(np.float64)
+                pts -= pts.mean(0)
+                rms = np.linalg.svd(pts, compute_uv=False)[-1] / np.sqrt(
+                    len(ring)
+                )
+                assert rms < 0.35
+
+
 def test_conformer_diversity_flexible_chain():
     """Different draws must sample different torsions, not one frozen pose."""
     mol = parse_smiles("CCCCCCCCO")
