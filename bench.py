@@ -322,10 +322,16 @@ def bench_stored_pipeline(batch_size: int, iters: int):
         )
     store = TiledStore(tmp, screener.packed_model)
     sb = store.load(0)
-    if v3 and sb.leaf_rows is not None:
-        # baked-leaf contract: the device hands back the final [n_lig]
-        # score vector; the host tail is load + a float gather
-        rows_shape = (len(sb.leaf_conf),)
+    leaves = v3 and getattr(sb, "leaf2_ps", None) is not None
+    if leaves:
+        # baked-leaf contract: the device hands back ([B] scores,
+        # [NOUT_pad, C] outlier rows); the host tail is load + a float
+        # gather + the outlier DFS
+        rows_shape = None
+        stand_in = (
+            np.zeros(len(sb.leaf_conf), np.float32),
+            np.zeros((len(sb.leaf2_out_ends), sb.dt.shape[1]), np.float32),
+        )
     elif v3:
         # device-compacted contract: the host tail receives the [NPpad, c]
         # pair table, not the expanded rows
@@ -337,22 +343,26 @@ def bench_stored_pipeline(batch_size: int, iters: int):
     else:
         rows_shape = (sb.gtab.shape[0] * sb.gtab.shape[3],
                       sb.pos_blocks.shape[1] // 3)
-    screener.postprocess_stored(sb, np.zeros(rows_shape, np.float32))
+    def stand(sb):
+        if leaves:
+            return (stand_in[0], stand_in[1].copy())
+        return np.zeros(rows_shape, np.float32)
+
+    screener.postprocess_stored(sb, stand(sb))
 
     times = []
     for _ in range(iters):
         t0 = _time.perf_counter()
         sb = store.load(0)
-        rows = np.zeros(rows_shape, np.float32)
+        rows = stand(sb)
         scores = screener.postprocess_stored(sb, rows)
         assert len(scores) == batch_size
         times.append(_time.perf_counter() - t0)
     import statistics
 
     per_batch = statistics.median(times)
-    leaves = v3 and sb.leaf_rows is not None
     tail = (
-        "load+score-gather; assignment tree baked at prepack"
+        "load+score-gather+outlier-dfs; assignment tree baked at prepack"
         if leaves
         else "load+compact+prune+dfs; pack was paid at prepack time"
     )
@@ -503,7 +513,56 @@ def main():
             def run_one(a):
                 return score_tiles_fused_dt(*a, depth1=d1, depth2=d2)
 
-    if engine == "v3":
+    if engine == "v3-leaf":
+        # FULL production stored chain (screening.py --library_tiles on a
+        # leaf-baked v3 store): pair kernel + on-device compaction + the
+        # baked-leaf assignment evaluation -> final [B] scores. The only
+        # host work left outside this program is the mmap batch load
+        # (BENCH_MODE=stored measures that side).
+        import tempfile
+
+        from pharmaconet_tpu.ops.screen_pallas import score_tiles_v3_rows
+        from pharmaconet_tpu.scoring.leaf_tree import leaf2_scores_device
+        from pharmaconet_tpu.scoring.tiled_store import (
+            TiledStore,
+            write_v3_store,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="bench_leaf_")
+        write_v3_store(
+            tmp, screener.packed_model, ligands,
+            [f"l{i}" for i in range(batch_size)],
+            batch_size=batch_size, verbose=False,
+        )
+        sb = TiledStore(tmp, screener.packed_model).load(0)
+        assert sb.leaf2_ps is not None
+        depth, mn_cap, g_cap = sb.depth, sb.mn_cap, sb.g_cap
+        w_cap = sb.leaf2_pw.shape[1]
+        print(
+            f"[bench] v3-leaf: T={sb.dt.shape[0]} "
+            f"L={sb.leaf2_ps.shape[1]} W={w_cap} "
+            f"outliers={len(sb.leaf2_out['live'])} "
+            f"NOUT_pad={len(sb.leaf2_out_ends)}",
+            file=sys.stderr,
+        )
+        args = tuple(
+            jnp.asarray(np.asarray(a))
+            for a in (
+                sb.dt, sb.gid, sb.tab, sb.aux, sb.leaf2_ends,
+                sb.leaf2_ps, sb.leaf2_pc, sb.leaf2_pw, sb.leaf_conf,
+                sb.leaf2_out_ends,
+            )
+        )
+
+        def run_one(a):
+            rows = score_tiles_v3_rows(
+                *a[:4], depth=depth, mn_cap=mn_cap, g_cap=g_cap
+            )
+            scores, out_rows = leaf2_scores_device(
+                rows, a[4], a[5], a[6], a[7], a[8], a[9], w_cap=w_cap
+            )
+            return scores.sum() + out_rows.sum()
+    elif engine == "v3":
         # block-major rows + deduplicated group tables
         # (scoring/screen_v3.py): ~3.6x smaller per-tile stream than the
         # dt kernel — the round-3 contract experiment (PERF_NOTES)

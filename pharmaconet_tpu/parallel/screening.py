@@ -238,47 +238,48 @@ class ShardedScreener(BatchScreener):
 
     def _v3_sharded_program(self, depth: int, mn_cap: int, g_cap: int,
                             interpret: bool, use_ends: bool,
-                            n_lig: int = 0):
+                            w_cap: int = 0):
         """Cached jitted shard_map program over stacked v3-store batches
         (one StoredV3Batch per device slot). use_ends adds the on-device
-        pair compaction (score_tiles_v3_pairs); n_lig > 0 additionally
-        chains the baked-leaf evaluation (scoring/leaf_tree.py) so each
-        shard returns [batch_size] final scores instead of a pair table."""
+        pair compaction (score_tiles_v3_pairs); w_cap > 0 instead chains
+        the dense baked-leaf evaluation (scoring/leaf_tree.py) so each
+        shard returns ([batch_size] scores, [NOUT_pad, C] outlier rows)."""
         from ..ops.screen_pallas import (
             score_tiles_v3_pairs,
             score_tiles_v3_rows,
         )
-        from ..scoring.leaf_tree import leaf_scores_device
+        from ..scoring.leaf_tree import leaf2_scores_device
 
         if not hasattr(self, "_v3_programs"):
             self._v3_programs = {}
-        key = (depth, mn_cap, g_cap, interpret, use_ends, n_lig)
+        key = (depth, mn_cap, g_cap, interpret, use_ends, w_cap)
         prog = self._v3_programs.get(key)
         if prog is None:
-            if use_ends and n_lig:
+            if w_cap:
 
                 @jax.jit
-                def sharded_score(dt, gid, tab, aux, ends,
-                                  lrows, lcross, llig, lconf):
-                    def per_shard(dt, gid, tab, aux, ends,
-                                  lrows, lcross, llig, lconf):
-                        table = score_tiles_v3_pairs(
-                            dt[0], gid[0], tab[0], aux[0], ends[0],
+                def sharded_score(dt, gid, tab, aux,
+                                  ends2, ps, pc, pw, conf, oends):
+                    def per_shard(dt, gid, tab, aux,
+                                  ends2, ps, pc, pw, conf, oends):
+                        rows = score_tiles_v3_rows(
+                            dt[0], gid[0], tab[0], aux[0],
                             depth=depth, mn_cap=mn_cap, g_cap=g_cap,
                             interpret=interpret,
                         )
-                        return leaf_scores_device(
-                            table, lrows[0], lcross[0], llig[0], lconf[0],
-                            n_lig=n_lig,
-                        )[None]
+                        scores, out_rows = leaf2_scores_device(
+                            rows, ends2[0], ps[0], pc[0], pw[0], conf[0],
+                            oends[0], w_cap=w_cap,
+                        )
+                        return scores[None], out_rows[None]
 
                     return jax.shard_map(
                         per_shard,
                         mesh=self.mesh,
-                        in_specs=(P(DATA_AXIS),) * 9,
-                        out_specs=P(DATA_AXIS),
+                        in_specs=(P(DATA_AXIS),) * 10,
+                        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
                         check_vma=False,
-                    )(dt, gid, tab, aux, ends, lrows, lcross, llig, lconf)
+                    )(dt, gid, tab, aux, ends2, ps, pc, pw, conf, oends)
 
             elif use_ends:
 
@@ -334,34 +335,42 @@ class ShardedScreener(BatchScreener):
             depth = max(sb.depth for sb in sbs)
             mn_cap, g_cap = sbs[0].mn_cap, sbs[0].g_cap
             use_ends = all(sb.ends_padded is not None for sb in sbs)
-            use_leaves = use_ends and all(
-                sb.leaf_rows is not None for sb in sbs)
-            fields = ("dt", "gid", "tab", "aux") + (
-                ("ends_padded",) if use_ends else ()) + (
-                ("leaf_rows", "leaf_cross", "leaf_lig", "leaf_conf")
-                if use_leaves else ())
+            use_leaves = all(
+                getattr(sb, "leaf2_ps", None) is not None for sb in sbs)
+            if use_leaves:
+                fields = ("dt", "gid", "tab", "aux", "leaf2_ends",
+                          "leaf2_ps", "leaf2_pc", "leaf2_pw", "leaf_conf",
+                          "leaf2_out_ends")
+            else:
+                fields = ("dt", "gid", "tab", "aux") + (
+                    ("ends_padded",) if use_ends else ())
             stacked = [
                 jnp.asarray(np.stack([np.asarray(getattr(sb, f)) for sb in sbs]))
                 for f in fields
             ]
             program = self._v3_sharded_program(
                 depth, mn_cap, g_cap, self.pallas_interpret, use_ends,
-                n_lig=len(sbs[0].leaf_conf) if use_leaves else 0)
-            # [n_dev, NBT|NPpad, C] tables, or [n_dev, B] scores (leaves)
-            tables = np.asarray(program(*stacked))
+                w_cap=sbs[0].leaf2_pw.shape[1] if use_leaves else 0)
             import dataclasses
 
+            if use_leaves:
+                # ([n_dev, B] scores, [n_dev, NOUT_pad, C] outlier rows)
+                scores_d, out_rows_d = program(*stacked)
+                scores_d = np.asarray(scores_d)
+                out_rows_d = np.asarray(out_rows_d)
+                return [
+                    self.postprocess_stored(sb, (scores_d[k], out_rows_d[k]))
+                    for k, sb in enumerate(sbs)
+                ]
+            # [n_dev, NBT|NPpad, C] raw/compacted tables
+            tables = np.asarray(program(*stacked))
             if not use_ends:
                 # postprocess_stored branches on ends_padded; mixed groups
                 # ran uncompacted, so every tail must compact on host
                 sbs = [dataclasses.replace(sb, ends_padded=None) for sb in sbs]
-            if not use_leaves:
-                # postprocess_stored branches on leaf_rows; the sharded
-                # program returned raw tables, so the tails must not take
-                # the leaf fast path
-                sbs = [
-                    dataclasses.replace(sb, leaf_rows=None) for sb in sbs
-                ]
+            # mixed groups (some leaf-baked, some not) returned raw
+            # tables, so no tail may take the leaf fast path
+            sbs = [dataclasses.replace(sb, leaf2_ps=None) for sb in sbs]
             return [
                 self.postprocess_stored(sb, tables[k])
                 for k, sb in enumerate(sbs)

@@ -1105,27 +1105,33 @@ class BatchScreener:
                 jnp.asarray(sb.dt), jnp.asarray(sb.gid),
                 jnp.asarray(sb.tab), jnp.asarray(sb.aux),
             )
+            if getattr(sb, "leaf2_ps", None) is not None:
+                # prepack-baked leaves: the assignment evaluation runs as
+                # two MXU matmuls behind the raw kernel; the host tail is
+                # reading [B] floats + a DFS over the few outlier ligands
+                # (scoring/leaf_tree.py build_leaf_dense)
+                from .leaf_tree import leaf2_scores_device
+
+                rows = score_tiles_v3_rows(
+                    *args, depth=sb.depth, mn_cap=sb.mn_cap,
+                    g_cap=sb.g_cap, interpret=self.pallas_interpret,
+                )
+                return leaf2_scores_device(
+                    rows,
+                    jnp.asarray(np.asarray(sb.leaf2_ends)),
+                    jnp.asarray(np.asarray(sb.leaf2_ps)),
+                    jnp.asarray(np.asarray(sb.leaf2_pc)),
+                    jnp.asarray(np.asarray(sb.leaf2_pw)),
+                    jnp.asarray(sb.leaf_conf),
+                    jnp.asarray(np.asarray(sb.leaf2_out_ends)),
+                    w_cap=sb.leaf2_pw.shape[1],
+                )
             if sb.ends_padded is not None:
-                table = score_tiles_v3_pairs(
+                return score_tiles_v3_pairs(
                     *args, jnp.asarray(sb.ends_padded), depth=sb.depth,
                     mn_cap=sb.mn_cap, g_cap=sb.g_cap,
                     interpret=self.pallas_interpret,
                 )
-                if getattr(sb, "leaf_rows", None) is not None:
-                    # prepack-baked leaves: the assignment search happens
-                    # on device as a dense masked reduction; the host tail
-                    # is reading [B] floats (scoring/leaf_tree.py)
-                    from .leaf_tree import leaf_scores_device
-
-                    return leaf_scores_device(
-                        table,
-                        jnp.asarray(sb.leaf_rows),
-                        jnp.asarray(sb.leaf_cross),
-                        jnp.asarray(sb.leaf_lig),
-                        jnp.asarray(sb.leaf_conf),
-                        n_lig=len(sb.leaf_conf),
-                    )
-                return table
             return score_tiles_v3_rows(
                 *args, depth=sb.depth, mn_cap=sb.mn_cap, g_cap=sb.g_cap,
                 interpret=self.pallas_interpret,
@@ -1147,11 +1153,30 @@ class BatchScreener:
         for the full pack-at-screen-time path). v3 batches with device-side
         compaction hand a ready [NPpad, c] pair table instead; leaf-baked
         batches hand the final [B] score vector — no DFS at all."""
-        if getattr(sb, "leaf_rows", None) is not None:
-            live_scores = np.asarray(expanded_rows_dev, dtype=np.float64)
+        if getattr(sb, "leaf2_ps", None) is not None:
+            dev_scores, out_rows = expanded_rows_dev
+            live_scores = np.asarray(dev_scores, dtype=np.float64)
             scores = [0.0] * sb.batch_len
             for i, s in zip(sb.live_index, live_scores):
                 scores[int(i)] = float(s)
+            o = sb.leaf2_out
+            if len(o["live"]):
+                # heavy-tail ligands above the baked caps: host DFS over
+                # their device-gathered sub-table (empty pairs already 0.0
+                # via the zero-sentinel row; prune applied here)
+                import types
+
+                tbl = np.asarray(out_rows)[: int(o["n_rows"])].copy()
+                tbl[o["prune"][: int(o["n_rows"])]] = -1.0
+                duck = types.SimpleNamespace(
+                    dfs_arrays=(
+                        o["pair_starts"], o["conformers"],
+                        o["active_offsets"], o["cand_counts"],
+                    )
+                )
+                out_scores = _dfs_scores(duck, tbl, threads=self.pack_threads)
+                for k, li in enumerate(o["live"]):
+                    scores[int(sb.live_index[int(li)])] = float(out_scores[k])
             return scores
         if getattr(sb, "pair_end_rows", 0) is None:
             # leaf-baked load deferred the DFS-tail fields; this batch is

@@ -188,191 +188,219 @@ def enumerate_leaves(batch, table: np.ndarray, native: bool | None = None):
             raise RuntimeError("native match_dfs_leaves unavailable")
     return _enumerate_python(batch, table, lmax)
 
+# ==========================================================================
+# Dense window layout (prepack time)
+# ==========================================================================
+# The first device formulation of leaf evaluation gathered [NL, R] table
+# rows per batch (leaf-major row indices). Chip-measured marginal:
+# 54.6 ms/2048-batch — TPU row gathers run ~5 ns/row, 25x the whole pair
+# kernel. This layout instead pads each ligand's pair rows to a window of
+# w_cap slots ([B, W, C] table via ONE take) and bakes the leaf structure
+# as bit-packed one-hot matrices, so leaf evaluation is two MXU batch
+# matmuls (~4.3 ms measured for the whole chain). Heavy-tail ligands
+# (leaves > l_cap or pairs > w_cap, ~p97 caps) are demoted to the host
+# DFS over a small device-gathered sub-table.
 
-# ==========================================================================
-# Layout build (prepack time)
-# ==========================================================================
+
 @dataclass
-class LeafBatch:
-    """Device arrays for one batch's baked leaves.
+class DenseLeafBatch:
+    """Device + host arrays for one batch's baked leaves (window layout).
 
-    rows point into the batch pair table [NP, C] with two appended
-    sentinel rows (NP + SENT_ZERO = 0.0, NP + SENT_NEG = -1.0); padding
-    slots point at the zero sentinel with cross=False."""
+    plane_score bit b of [B, L, W/8] marks window slot as summed into the
+    leaf; plane_cross marks it as a cross pair (leaf dies if its value
+    <= 0 — the tree's per-conformer pruning, reference tree.py:81).
+    ends2 maps window slots to kernel row ids (NBT = appended zero row =
+    empty pair -> 0.0, the host-compaction value). prune_w folds the
+    static prune mask (-1.0) into the window on device."""
 
-    rows: np.ndarray  # [NL, R] i32
-    cross: np.ndarray  # [NL, R] bool
-    lig: np.ndarray  # [NL] i32 (live-ligand index; padding -> n_lig slot)
-    n_lig: int
-    conformers: np.ndarray  # [n_lig] i32
-    nl: int  # real leaves (<= NL)
+    plane_score: np.ndarray  # [B, L, W//8] u8
+    plane_cross: np.ndarray  # [B, L, W//8] u8
+    prune_w: np.ndarray  # [B, W] bool
+    ends2: np.ndarray  # [B*W] i32 into [NBT]+zero-sentinel kernel rows
+    out_live: np.ndarray  # [n_out] i32 live-ligand indices (DFS fallback)
+    out_ends: np.ndarray  # [NOUT_pad] i32
+    out_prune: np.ndarray  # [NOUT_pad] bool
+    out_pair_starts: np.ndarray  # [n_out] i64 into the out table
+    out_conformers: np.ndarray  # [n_out] i32
+    out_active_offsets: np.ndarray  # [n_out+1] i32
+    out_cand_counts: np.ndarray  # [sum active] i32
+    n_out_rows: int  # real rows in out_ends (<= NOUT_pad)
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def build_leaf_arrays(
-    batch,
+def build_leaf_dense(
     assign: np.ndarray,
     offsets: np.ndarray,
-    np_total: int,
-    prune: np.ndarray | None = None,
-    r_cap: int | None = None,
-    nl_pad: int | None = None,
-) -> LeafBatch:
-    """Convert assignment vectors to padded row-index arrays.
+    pair_starts: np.ndarray,
+    conformers: np.ndarray,
+    active_offsets: np.ndarray,
+    cand_counts: np.ndarray,
+    pair_end_rows: np.ndarray,
+    prune: np.ndarray,
+    l_cap: int,
+    w_cap: int,
+    nbt: int,
+    batch_size: int,
+    nout_pad: int | None = None,
+) -> DenseLeafBatch:
+    """Bake the enumerated leaves into the dense window layout.
 
-    `np_total` is the pair-table row count (sentinels appended after it).
-    `prune` (host_prune_mask) redirects pruned cross rows to the -1
-    sentinel so the device needs no prune stream; empty pairs (score 0.0
-    on host) redirect to the zero sentinel via `pair_end_rows` only in the
-    STORED path — for in-memory batches the table already carries 0 rows,
-    so no redirect is needed (pass prune only)."""
-    pair_starts, conformers, ao, cc_all = _dfs_arrays(batch)
+    All shape params are store-wide statics; a ligand whose leaf count or
+    pair-row count exceeds the caps joins the outlier (host DFS) set."""
     num = len(conformers)
-    nl = int(offsets[num])
-    sent_zero = np_total + SENT_ZERO
-    sent_neg = np_total + SENT_NEG
+    w8 = w_cap // 8
+    assert w_cap % 8 == 0
+    plane_s = np.zeros((batch_size, l_cap, w_cap), bool)
+    plane_c = np.zeros((batch_size, l_cap, w_cap), bool)
+    prune_w = np.zeros((batch_size, w_cap), bool)
+    ends2 = np.full(batch_size * w_cap, nbt, np.int32)
+    np_total = len(pair_end_rows)
+    row_of = np.where(pair_end_rows >= 0, pair_end_rows, nbt).astype(np.int32)
+    bounds = np.append(pair_starts, np_total).astype(np.int64)
 
-    # per-leaf row lists (ligand-major loop; numpy inside)
-    max_rows = 1
-    rows_list: list[np.ndarray] = []
-    cross_list: list[np.ndarray] = []
-    lig_list: list[np.ndarray] = []
+    out_live: list[int] = []
+    out_rows_list: list[np.ndarray] = []
+    out_prune_list: list[np.ndarray] = []
+    out_ps: list[int] = []
+    out_conf: list[int] = []
+    out_ao: list[int] = [0]
+    out_cc: list[np.ndarray] = []
+    out_at = 0
+
     for li in range(num):
+        ps, pe = int(bounds[li]), int(bounds[li + 1])
+        rows_b = pe - ps
         lo, hi = int(offsets[li]), int(offsets[li + 1])
-        if hi == lo:
+        leaves_b = hi - lo
+        a_lo, a_hi = int(active_offsets[li]), int(active_offsets[li + 1])
+        if rows_b > w_cap or leaves_b > l_cap:
+            out_live.append(li)
+            out_rows_list.append(row_of[ps:pe])
+            out_prune_list.append(prune[ps:pe])
+            out_ps.append(out_at)
+            out_conf.append(int(conformers[li]))
+            out_cc.append(cand_counts[a_lo:a_hi])
+            out_ao.append(out_ao[-1] + (a_hi - a_lo))
+            out_at += rows_b
             continue
-        a_lo, a_hi = int(ao[li]), int(ao[li + 1])
+        ends2[li * w_cap : li * w_cap + rows_b] = row_of[ps:pe]
+        prune_w[li, :rows_b] = prune[ps:pe]
+        if leaves_b == 0:
+            continue
         n = a_hi - a_lo
-        cc = cc_all[a_lo:a_hi].astype(np.int64)
+        cc = cand_counts[a_lo:a_hi].astype(np.int64)
         cross_off, self_off, _rows = _ligand_offsets(n, cc)
-        start = int(pair_starts[li])
-        a = assign[lo:hi, :n].astype(np.int64)  # [L, n]
+        a = assign[lo:hi, :n].astype(np.int64)  # [Lb, n]
         assigned = a >= 0
-        # self rows
-        srows = np.where(assigned, start + self_off[None, :] + a, sent_zero)
-        # cross rows for all i1 < i2 (vectorized over leaf dim)
+        lidx = np.repeat(np.arange(leaves_b), n)
+        srows = (self_off[None, :] + a).ravel()
+        svalid = assigned.ravel()
+        plane_s[li, lidx[svalid], srows[svalid]] = True
         iu, ju = np.triu_indices(n, k=1)
         if len(iu):
             xr = (
-                start
-                + cross_off[iu, ju][None, :]
+                cross_off[iu, ju][None, :]
                 + a[:, iu] * cc[ju][None, :]
                 + a[:, ju]
-            )
-            both = assigned[:, iu] & assigned[:, ju]
-            xrows = np.where(both, xr, sent_zero)
-        else:
-            xrows = np.zeros((hi - lo, 0), dtype=np.int64)
-        leaf_rows = np.concatenate([srows, xrows], axis=1)
-        leaf_cross = np.concatenate(
-            [
-                np.zeros_like(srows, dtype=bool),
-                both if len(iu) else np.zeros((hi - lo, 0), bool),
-            ],
-            axis=1,
-        )
-        # drop the all-padding column tail for this ligand
-        used = (leaf_rows != sent_zero).any(axis=0)
-        keep = max(int(np.nonzero(used)[0].max(initial=-1)) + 1, 1)
-        rows_list.append(leaf_rows[:, :keep])
-        cross_list.append(leaf_cross[:, :keep])
-        lig_list.append(np.full(hi - lo, li, dtype=np.int32))
-        max_rows = max(max_rows, keep)
+            ).ravel()
+            xvalid = (assigned[:, iu] & assigned[:, ju]).ravel()
+            lxid = np.repeat(np.arange(leaves_b), len(iu))
+            plane_s[li, lxid[xvalid], xr[xvalid]] = True
+            plane_c[li, lxid[xvalid], xr[xvalid]] = True
 
-    r = r_cap or max_rows
-    if max_rows > r:
-        raise ValueError(f"leaf rows {max_rows} exceed r_cap {r}")
-    nlp = nl_pad or max(_round_up(max(nl, 1), 8), 8)
-    if nl > nlp:
-        raise ValueError(f"leaves {nl} exceed nl_pad {nlp}")
-    rows = np.full((nlp, r), sent_zero, dtype=np.int32)
-    cross = np.zeros((nlp, r), dtype=bool)
-    lig = np.full(nlp, num, dtype=np.int32)  # padding -> extra segment
-    at = 0
-    for lr, lc, ll in zip(rows_list, cross_list, lig_list):
-        rows[at : at + len(lr), : lr.shape[1]] = lr
-        cross[at : at + len(lr), : lr.shape[1]] = lc
-        lig[at : at + len(lr)] = ll
-        at += len(lr)
-
-    if prune is not None and len(prune):
-        # redirect rows that land on pruned pairs to the -1 sentinel
-        pruned_row = np.zeros(np_total + 2, dtype=bool)
-        pruned_row[: len(prune)] = prune
-        hit = pruned_row[rows]
-        rows = np.where(hit, sent_neg, rows).astype(np.int32)
-
-    return LeafBatch(
-        rows=rows,
-        cross=cross,
-        lig=lig,
-        n_lig=num,
-        conformers=np.asarray(conformers, dtype=np.int32),
-        nl=nl,
+    n_out_rows = out_at
+    nout = nout_pad if nout_pad is not None else max(_round_up(out_at, 8), 8)
+    if out_at > nout:
+        raise ValueError(f"outlier rows {out_at} exceed nout_pad {nout}")
+    out_ends = np.full(nout, nbt, np.int32)
+    out_pr = np.zeros(nout, bool)
+    if out_rows_list:
+        out_ends[:out_at] = np.concatenate(out_rows_list)
+        out_pr[:out_at] = np.concatenate(out_prune_list)
+    return DenseLeafBatch(
+        plane_score=np.packbits(plane_s, axis=2),
+        plane_cross=np.packbits(plane_c, axis=2),
+        prune_w=prune_w,
+        ends2=ends2,
+        out_live=np.asarray(out_live, np.int32),
+        out_ends=out_ends,
+        out_prune=out_pr,
+        out_pair_starts=np.asarray(out_ps, np.int64),
+        out_conformers=np.asarray(out_conf, np.int32),
+        out_active_offsets=np.asarray(out_ao, np.int32),
+        out_cand_counts=(
+            np.concatenate(out_cc).astype(np.int32)
+            if out_cc else np.zeros(0, np.int32)
+        ),
+        n_out_rows=n_out_rows,
     )
-
-
-def redirect_empty_pairs(lb: LeafBatch, pair_end_rows: np.ndarray, np_total: int) -> LeafBatch:
-    """Stored-path fixup: rows pointing at EMPTY pairs (pair_end_rows < 0;
-    the device gather would read garbage) go to the zero sentinel —
-    matching the host compaction's 0.0 for empty pairs."""
-    empty = np.zeros(np_total + 2, dtype=bool)
-    n = min(len(pair_end_rows), np_total)
-    empty[:n] = pair_end_rows[:n] < 0
-    hit = empty[lb.rows]
-    rows = np.where(hit, np_total + SENT_ZERO, lb.rows).astype(np.int32)
-    return LeafBatch(rows=rows, cross=lb.cross, lig=lb.lig, n_lig=lb.n_lig,
-                     conformers=lb.conformers, nl=lb.nl)
 
 
 # ==========================================================================
 # Device evaluation (screen time)
 # ==========================================================================
-@partial(jax.jit, static_argnames=("n_lig",))
-def leaf_scores_device(
-    table: jax.Array,  # [NP, C] f32 device pair table (raw; sentinels added here)
-    rows: jax.Array,  # [NL, R] i32
-    cross: jax.Array,  # [NL, R] bool
-    lig: jax.Array,  # [NL] i32
-    conformers: jax.Array,  # [n_lig] i32
-    n_lig: int,
-) -> jax.Array:
-    """[n_lig] f32 scores: per conformer the max over valid leaves of the
-    leaf's row sum, clamped at 0, then the mean over real conformers —
-    the exact _dfs_scores contract."""
-    c = table.shape[1]
-    sent = jnp.asarray([[0.0] * c, [-1.0] * c], dtype=table.dtype)
-    tbl = jnp.concatenate([table, sent], axis=0)
-    vals = tbl[rows]  # [NL, R, C]
-    score = vals.sum(axis=1)
-    dead = ((vals <= 0.0) & cross[..., None]).any(axis=1)  # [NL, C]
-    neg_inf = jnp.asarray(-jnp.inf, dtype=table.dtype)
-    leaf_val = jnp.where(dead, neg_inf, score)
-    best = jax.ops.segment_max(
-        leaf_val, lig, num_segments=n_lig + 1, indices_are_sorted=True
-    )[:n_lig]  # [n_lig, C]
-    best = jnp.maximum(best, 0.0)
-    conf_ok = jnp.arange(c)[None, :] < conformers[:, None]
-    denom = jnp.maximum(conformers, 1).astype(table.dtype)
-    return jnp.where(conf_ok, best, 0.0).sum(axis=1) / denom
+@partial(jax.jit, static_argnames=("w_cap",))
+def leaf2_scores_device(
+    rows: jax.Array,  # [NBT, C] f32 raw kernel output (score_tiles_v3_rows)
+    ends2: jax.Array,  # [B*W] i32
+    plane_s: jax.Array,  # [B, L, W//8] u8
+    plane_c: jax.Array,  # [B, L, W//8] u8
+    prune_w: jax.Array,  # [B, W] bool
+    conformers: jax.Array,  # [B] i32
+    out_ends: jax.Array,  # [NOUT_pad] i32
+    w_cap: int,
+) -> tuple[jax.Array, jax.Array]:
+    """([B] scores, [NOUT_pad, C] outlier pair rows).
 
-
-def leaf_scores_host(lb: LeafBatch, table: np.ndarray) -> np.ndarray:
-    """Numpy reference of leaf_scores_device (tests / no-JAX paths)."""
-    c = table.shape[1]
-    tbl = np.concatenate(
-        [table, np.zeros((1, c), table.dtype), np.full((1, c), -1.0, table.dtype)]
+    One window take + two MXU batch matmuls evaluate every baked leaf:
+    S[b,l,c] = sum of the leaf's selected window values, D[b,l,c] = count
+    of its non-positive cross values (> 0 kills the leaf — the DFS's
+    conformer pruning). The pair values stay f32 end to end (bf16 would
+    blow the repo's 2e-5 score tolerance); the D count matmul runs
+    bf16 x bf16 -> f32, exact for 0/1 operands."""
+    c = rows.shape[1]
+    b = prune_w.shape[0]
+    rows_z = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)], axis=0)
+    tw = rows_z[ends2].reshape(b, w_cap, c)
+    tw = jnp.where(prune_w[:, :, None], -1.0, tw)
+    a_s = jnp.unpackbits(plane_s, axis=2, count=w_cap).astype(rows.dtype)
+    a_c = jnp.unpackbits(plane_c, axis=2, count=w_cap).astype(jnp.bfloat16)
+    s = jnp.einsum(
+        "blw,bwc->blc", a_s, tw, preferred_element_type=jnp.float32
     )
-    vals = tbl[lb.rows]
-    score = vals.sum(axis=1)
-    dead = ((vals <= 0.0) & lb.cross[..., None]).any(axis=1)
-    leaf_val = np.where(dead, -np.inf, score)
-    best = np.full((lb.n_lig + 1, c), -np.inf)
-    np.maximum.at(best, lb.lig, leaf_val)
-    best = np.maximum(best[: lb.n_lig], 0.0)
-    conf_ok = np.arange(c)[None, :] < lb.conformers[:, None]
-    denom = np.maximum(lb.conformers, 1).astype(np.float64)
-    return np.where(conf_ok, best, 0.0).sum(axis=1) / denom
+    d = jnp.einsum(
+        "blw,bwc->blc",
+        a_c,
+        (tw <= 0.0).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    leaf_val = jnp.where(d > 0.5, -jnp.inf, s)
+    best = jnp.maximum(leaf_val.max(axis=1), 0.0)  # [B, C]
+    conf_ok = jnp.arange(c)[None, :] < conformers[:, None]
+    denom = jnp.maximum(conformers, 1).astype(rows.dtype)
+    scores = jnp.where(conf_ok, best, 0.0).sum(axis=1) / denom
+    return scores, rows_z[out_ends]
+
+
+def leaf2_scores_host(
+    rows: np.ndarray, lb: DenseLeafBatch, conformers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy reference of leaf2_scores_device (tests / no-JAX paths)."""
+    c = rows.shape[1]
+    b, w = lb.prune_w.shape
+    rows_z = np.concatenate([rows, np.zeros((1, c), rows.dtype)])
+    tw = rows_z[lb.ends2].reshape(b, w, c).astype(np.float64)
+    tw[lb.prune_w] = -1.0
+    a_s = np.unpackbits(lb.plane_score, axis=2, count=w)
+    a_c = np.unpackbits(lb.plane_cross, axis=2, count=w)
+    s = np.einsum("blw,bwc->blc", a_s.astype(np.float64), tw)
+    d = np.einsum("blw,bwc->blc", a_c.astype(np.float64), tw <= 0.0)
+    leaf_val = np.where(d > 0.5, -np.inf, s)
+    best = np.maximum(leaf_val.max(axis=1), 0.0)
+    conf_ok = np.arange(c)[None, :] < conformers[:, None]
+    denom = np.maximum(conformers, 1).astype(np.float64)
+    scores = np.where(conf_ok, best, 0.0).sum(axis=1) / denom
+    return scores, rows_z[lb.out_ends]

@@ -151,12 +151,17 @@ class StoredV3Batch:
     # pair-compaction program (v3's group-sorted rows make host-side
     # compaction a scattered gather; see score_tiles_v3_pairs)
     ends_padded: np.ndarray | None = None
-    # prepack-baked assignment-tree leaves (scoring/leaf_tree.py): with
-    # these set, the screen-time host tail is reading [B] floats — the
-    # DFS never runs. None for stores written with bake_leaves=False.
-    leaf_rows: np.ndarray | None = None  # [NL, R] i32 into the device table
-    leaf_cross: np.ndarray | None = None  # [NL, R] bool
-    leaf_lig: np.ndarray | None = None  # [NL] i32 live-ligand segment ids
+    # prepack-baked assignment-tree leaves in the dense window layout
+    # (scoring/leaf_tree.py build_leaf_dense): with these set, leaf
+    # evaluation runs as two MXU matmuls behind the pair kernel and the
+    # screen-time host tail is reading [B] floats plus a DFS over the
+    # few heavy-tail outlier ligands. None for bake_leaves=False stores.
+    leaf2_ps: np.ndarray | None = None  # [B, L, W/8] u8 score bitplane
+    leaf2_pc: np.ndarray | None = None  # [B, L, W/8] u8 cross bitplane
+    leaf2_pw: np.ndarray | None = None  # [B, W] bool window prune mask
+    leaf2_ends: np.ndarray | None = None  # [B*W] i32 window -> kernel rows
+    leaf2_out_ends: np.ndarray | None = None  # [NOUT_pad] i32
+    leaf2_out: dict | None = None  # outlier host-DFS arrays (leaf2_out.npz)
     leaf_conf: np.ndarray | None = None  # [store batch_size] i32 conformers
     # host.npz path backing the lazy DFS-tail fields (leaf-baked loads)
     host_path: str | None = None
@@ -355,6 +360,7 @@ def write_v3_store(
     threads: int = 1,
     verbose: bool = True,
     bake_leaves: bool = True,
+    leaf_caps: tuple[int, int] | None = None,
 ) -> dict:
     """Pack the library into a version-3 (block-major) tile store.
 
@@ -368,9 +374,12 @@ def write_v3_store(
     growth rebuilds the layout from a fresh pack).
 
     With `bake_leaves` (default), the assignment-tree search runs ONCE
-    here per batch and its visited leaves are stored as device row-index
-    arrays (scoring/leaf_tree.py) — the screen-time host tail drops from
-    the C++ DFS (~25-34 ms/2048-batch/core) to reading [B] floats."""
+    here per batch and its visited leaves are baked into the dense window
+    layout (scoring/leaf_tree.py build_leaf_dense) — screen-time leaf
+    evaluation is two MXU matmuls and the host tail drops from the C++
+    DFS (~25-34 ms/2048-batch/core) to reading [B] floats plus a DFS over
+    the few heavy-tail outlier ligands. `leaf_caps` overrides the
+    automatic (leaves, window) cap selection."""
     from .batch_screen import (
         BatchScreener,
         build_batch,
@@ -390,7 +399,6 @@ def write_v3_store(
     t_max, mn_max, g_max, depth_max = 0, 8, V3_G_CAP, 0
     shapes: list[tuple[int, int, int] | None] = []  # (t, mn_cap, g_cap)
     scorer = BatchScreener(model, engine="xla") if bake_leaves else None
-    nl_max, r_max = 0, 1  # leaf-array maxima (pass-2 unification)
 
     def build_vb_for(bi: int, mn_cap=None, g_cap=V3_G_CAP, nbt=None):
         chunk = packed[bi * batch_size : (bi + 1) * batch_size]
@@ -404,7 +412,6 @@ def write_v3_store(
         return vb, batch, np.asarray([i for i, _ in live], np.int32), len(chunk)
 
     def save_vb(bi: int, vb, batch, live_idx: np.ndarray, batch_len: int):
-        nonlocal nl_max, r_max
         bdir = out / "batches" / f"{bi:05d}"
         bdir.mkdir(exist_ok=True)
         if vb is None:
@@ -425,30 +432,18 @@ def write_v3_store(
             live_index=live_idx, batch_len=np.asarray(batch_len),
         )
         if scorer is not None:
-            # bake the assignment-tree leaves against the final host table
-            # (empty pairs 0.0, pruned -1.0 — what _dfs_scores consumes)
-            from .leaf_tree import (
-                build_leaf_arrays,
-                enumerate_leaves,
-                redirect_empty_pairs,
-            )
+            # enumerate the assignment-tree leaves against the final host
+            # table (empty pairs 0.0, pruned -1.0 — what _dfs_scores
+            # consumes) and save the RAW enumeration; pass 2b bakes it
+            # into the dense window layout once the store-wide caps and
+            # row count are known
+            from .leaf_tree import enumerate_leaves
 
             expanded = np.asarray(scorer.run_device(batch))
             table = compact_pair_table(batch, expanded)
             table[: len(prune)][prune] = -1.0
             assign, offsets = enumerate_leaves(vb, table)
-            np_real = len(vb.pair_end_rows)
-            lb = build_leaf_arrays(
-                vb, assign, offsets, np_total=np_real, prune=prune
-            )
-            lb = redirect_empty_pairs(lb, vb.pair_end_rows, np_real)
-            # sentinel indices sit at np_real; pass 2 shifts them to the
-            # library-wide np_pad once it is known
-            np.save(bdir / "leaf_rows.npy", lb.rows)
-            np.save(bdir / "leaf_cross.npy", lb.cross)
-            np.save(bdir / "leaf_lig.npy", lb.lig)
-            nl_max = max(nl_max, lb.rows.shape[0])
-            r_max = max(r_max, lb.rows.shape[1])
+            np.savez(bdir / "leaves_raw.npz", assign=assign, offsets=offsets)
 
     np_max = 0
     for bi in range(n_batches):
@@ -510,7 +505,6 @@ def write_v3_store(
               f"to (T={t_max}, mn_cap={mn_max}, g_cap={g_max})")
 
     np_pad = max(8, ((np_max + 7) // 8) * 8)
-    nl_pad = max(8, ((nl_max + 7) // 8) * 8)
     # pass 2c: store the device-compaction ends per batch as an mmap-able
     # .npy — loads skip the multi-MB host.npz pair_end_rows read entirely
     from .screen_v3 import padded_ends as _padded_ends
@@ -521,39 +515,83 @@ def write_v3_store(
         if "empty" in host:
             continue
         np.save(bdir / "ends.npy", _padded_ends(host["pair_end_rows"], np_pad))
+
+    leaf_meta: dict = {}
     if scorer is not None:
-        # pass 2b: shift the leaf sentinel rows from the per-batch np_real
-        # to the library-wide np_pad (the screen-time device table shape)
-        # and pad every batch's leaf arrays to the common (nl_pad, r_max)
+        # pass 2b: bake the raw leaf enumerations into the dense window
+        # layout (leaf_tree.build_leaf_dense). Caps are store-wide statics
+        # chosen at ~p97 of the per-ligand leaf/pair distributions (hard
+        # ceilings 256 leaves / 512 window slots); heavy-tail ligands
+        # above the caps join the host-DFS outlier set.
+        from .leaf_tree import build_leaf_dense
+
+        stats: list[tuple[int, np.ndarray, np.ndarray]] = []
         for bi in range(n_batches):
             bdir = out / "batches" / f"{bi:05d}"
-            rows_path = bdir / "leaf_rows.npy"
-            if not rows_path.exists():
+            if not (bdir / "leaves_raw.npz").exists():
                 continue
-            rows = np.load(rows_path)
-            cross = np.load(bdir / "leaf_cross.npy")
-            lig = np.load(bdir / "leaf_lig.npy")
-            np_real = len(np.load(bdir / "host.npz")["pair_end_rows"])
-            rows = np.where(
-                rows >= np_real, rows + (np_pad - np_real), rows
-            ).astype(np.int32)
-            nl, r = rows.shape
-            if r < r_max:
-                pad = np.full((nl, r_max - r), np_pad, np.int32)
-                rows = np.concatenate([rows, pad], axis=1)
-                cross = np.concatenate(
-                    [cross, np.zeros((nl, r_max - r), bool)], axis=1)
-            if nl < nl_pad:
-                rows = np.concatenate(
-                    [rows, np.full((nl_pad - nl, r_max), np_pad, np.int32)])
-                cross = np.concatenate(
-                    [cross, np.zeros((nl_pad - nl, r_max), bool)])
-                # padding leaves join the discard segment (= batch_size)
-                lig = np.concatenate(
-                    [lig, np.full(nl_pad - nl, batch_size, np.int32)])
-            np.save(rows_path, rows)
-            np.save(bdir / "leaf_cross.npy", cross)
-            np.save(bdir / "leaf_lig.npy", lig.astype(np.int32))
+            host = np.load(bdir / "host.npz")
+            offsets = np.load(bdir / "leaves_raw.npz")["offsets"]
+            ps = host["dfs_pair_starts"]
+            rows_per = np.diff(np.append(ps, len(host["pair_end_rows"])))
+            stats.append((bi, rows_per.astype(np.int64), np.diff(offsets)))
+        if stats:
+            all_rows = np.concatenate([r for _, r, _ in stats])
+            all_leaves = np.concatenate([l for _, _, l in stats])
+            rnd = lambda n, m: int(((max(int(n), 1) + m - 1) // m) * m)  # noqa: E731
+            if leaf_caps is not None:
+                l_cap, w_cap = rnd(leaf_caps[0], 8), rnd(leaf_caps[1], 128)
+            else:
+                l_cap = min(rnd(np.percentile(all_leaves, 97), 32), 256)
+                w_cap = min(rnd(np.percentile(all_rows, 97), 128), 512)
+                # covering the true maxima costs nothing extra when close
+                if all_leaves.max() <= 256:
+                    l_cap = max(l_cap, rnd(all_leaves.max(), 32))
+                if all_rows.max() <= 512:
+                    w_cap = max(w_cap, rnd(all_rows.max(), 128))
+            nbt = t_max * TILE
+            nout = 8
+            for bi, rows_per, leaves_per in stats:
+                outlier = (rows_per > w_cap) | (leaves_per > l_cap)
+                nout = max(nout, int(rows_per[outlier].sum()))
+            nout = ((nout + 7) // 8) * 8
+            for bi, _rows_per, _leaves_per in stats:
+                bdir = out / "batches" / f"{bi:05d}"
+                host = np.load(bdir / "host.npz")
+                raw = np.load(bdir / "leaves_raw.npz")
+                lb = build_leaf_dense(
+                    raw["assign"], raw["offsets"],
+                    host["dfs_pair_starts"], host["dfs_conformers"],
+                    host["dfs_active_offsets"], host["dfs_cand_counts"],
+                    host["pair_end_rows"], host["prune"],
+                    l_cap=l_cap, w_cap=w_cap, nbt=nbt,
+                    batch_size=batch_size, nout_pad=nout,
+                )
+                np.save(bdir / "leaf2_ps.npy", lb.plane_score)
+                np.save(bdir / "leaf2_pc.npy", lb.plane_cross)
+                np.save(bdir / "leaf2_pw.npy", lb.prune_w)
+                np.save(bdir / "leaf2_ends.npy", lb.ends2)
+                np.save(bdir / "leaf2_out_ends.npy", lb.out_ends)
+                np.savez(
+                    bdir / "leaf2_out.npz",
+                    live=lb.out_live, prune=lb.out_prune,
+                    pair_starts=lb.out_pair_starts,
+                    conformers=lb.out_conformers,
+                    active_offsets=lb.out_active_offsets,
+                    cand_counts=lb.out_cand_counts,
+                    n_rows=np.asarray(lb.n_out_rows),
+                )
+                (bdir / "leaves_raw.npz").unlink()
+            leaf_meta = dict(leaf2_l=l_cap, leaf2_w=w_cap, leaf2_nout=nout)
+            if verbose:
+                n_out_lig = sum(
+                    int(((r > w_cap) | (l > l_cap)).sum())
+                    for _, r, l in stats
+                )
+                print(
+                    f"leaf bake: caps L={l_cap} W={w_cap}, outliers "
+                    f"{n_out_lig} ligands (host DFS), NOUT_pad={nout}"
+                )
 
     np.save(out / "names.npy", np.asarray(names))
     meta = dict(
@@ -568,10 +606,8 @@ def write_v3_store(
         depth=depth_max,
         np_pad=np_pad,
         fingerprint=model_fingerprint(model),
+        **leaf_meta,
     )
-    if scorer is not None:
-        meta["leaf_nl"] = nl_pad
-        meta["leaf_r"] = r_max
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
     return meta
 
@@ -733,7 +769,7 @@ class TiledStore:
             )
         from .screen_v3 import padded_ends
 
-        has_leaves = "leaf_nl" in m and (bdir / "leaf_rows.npy").exists()
+        has_leaves = "leaf2_l" in m and (bdir / "leaf2_ps.npy").exists()
         # stores written since the ends.npy pass mmap the padded ends
         # instead of re-deriving them from the 8-byte-per-pair signed copy
         # in host.npz on every load
@@ -749,23 +785,35 @@ class TiledStore:
         # host.npz reads to ensure_host_fields() (rare fallbacks only)
         lazy = has_leaves and ends is not None
         conformers = host["dfs_conformers"]
+        if has_leaves:
+            out_npz = np.load(bdir / "leaf2_out.npz")
+            leaf2_out = {k: out_npz[k] for k in out_npz.files}
         return StoredV3Batch(
             dt=np.load(bdir / "dt.npy", mmap_mode=mm),
             gid=np.load(bdir / "gid.npy", mmap_mode=mm),
             tab=np.load(bdir / "tab.npy", mmap_mode=mm),
             aux=np.load(bdir / "aux.npy", mmap_mode=mm),
-            leaf_rows=(
-                np.load(bdir / "leaf_rows.npy", mmap_mode=mm)
+            leaf2_ps=(
+                np.load(bdir / "leaf2_ps.npy", mmap_mode=mm)
                 if has_leaves else None
             ),
-            leaf_cross=(
-                np.load(bdir / "leaf_cross.npy", mmap_mode=mm)
+            leaf2_pc=(
+                np.load(bdir / "leaf2_pc.npy", mmap_mode=mm)
                 if has_leaves else None
             ),
-            leaf_lig=(
-                np.load(bdir / "leaf_lig.npy", mmap_mode=mm)
+            leaf2_pw=(
+                np.load(bdir / "leaf2_pw.npy", mmap_mode=mm)
                 if has_leaves else None
             ),
+            leaf2_ends=(
+                np.load(bdir / "leaf2_ends.npy", mmap_mode=mm)
+                if has_leaves else None
+            ),
+            leaf2_out_ends=(
+                np.load(bdir / "leaf2_out_ends.npy", mmap_mode=mm)
+                if has_leaves else None
+            ),
+            leaf2_out=leaf2_out if has_leaves else None,
             # conformer counts padded to the store batch size so every
             # batch shares one leaf-evaluation program shape
             leaf_conf=(

@@ -2,11 +2,12 @@
 path must score EXACTLY like the assignment-tree DFS it replaces
 (reference semantics: /root/reference/src/pmnet/scoring/tree.py:55-104).
 
-Covers: native vs Python leaf enumeration equality, device/host leaf
-evaluation vs _dfs_scores on small and large models (the 40-cluster model
-exercises deep trees where the <5-match None gate actually closes), v3
-store roundtrips, and edge cases (cluster-less ligands, short conformer
-counts, empty pairs, pruned pairs).
+Covers: native vs Python leaf enumeration equality, the dense-window MXU
+evaluation (device + numpy mirror) vs _dfs_scores on small and large
+models (the 40-cluster model exercises deep trees where the <5-match None
+gate actually closes), the heavy-tail outlier demotion (tight caps force
+host-DFS ligands), v3 store roundtrips, and edge cases (cluster-less
+ligands, short conformer counts, empty pairs, pruned pairs).
 """
 
 from __future__ import annotations
@@ -56,6 +57,37 @@ def big_case():
     return (model,) + _batch_and_table(model, packed)
 
 
+def _dense_from_batch(batch, table, prune, l_cap=None, w_cap=None, nbt=None):
+    """Bake a DenseLeafBatch against an in-memory ScreenBatch: the window
+    maps to a synthetic [NP(+1), C] 'kernel rows' table whose row i holds
+    pair i (plus a zero row for empty pairs), so the dense evaluation can
+    be checked without a real v3 kernel layout. Caps default to the data
+    maxima (no outliers) — fixed huge caps would allocate [B, L, W] bool
+    planes in the GB range."""
+    final = table.copy()
+    final[: len(prune)][prune] = -1.0
+    assign, offsets = lt.enumerate_leaves(batch, final)
+    ps, conf, ao, cc = lt._dfs_arrays(batch)
+    np_total = table.shape[0]
+    rnd8 = lambda n: max(8, ((int(n) + 7) // 8) * 8)  # noqa: E731
+    if l_cap is None:
+        l_cap = rnd8(np.diff(offsets).max(initial=1))
+    if w_cap is None:
+        w_cap = rnd8(np.diff(np.append(ps, np_total)).max(initial=1))
+    # pair-end rows in the synthetic layout: pair i ends at row i; empty
+    # pairs (all-zero table rows AND not covered by any candidate...) are
+    # not distinguished here, so every pair is 'real' — the zero-sentinel
+    # path is exercised by the store roundtrip tests instead
+    pair_end_rows = np.arange(np_total, dtype=np.int64)
+    lb = lt.build_leaf_dense(
+        assign, offsets, ps, conf, ao, cc, pair_end_rows, prune,
+        l_cap=l_cap, w_cap=w_cap, nbt=np_total,
+        batch_size=len(conf),
+    )
+    rows = np.ascontiguousarray(table, np.float32)  # prune folds on device
+    return lb, rows, conf, offsets
+
+
 def test_native_matches_python_enumeration(small_case):
     _model, batch, _table, _prune, final = small_case
     a_py, o_py = lt.enumerate_leaves(batch, final, native=False)
@@ -66,22 +98,50 @@ def test_native_matches_python_enumeration(small_case):
 
 
 @pytest.mark.parametrize("case", ["small_case", "big_case"])
-def test_leaf_scores_equal_dfs(case, request):
+def test_dense_leaf_scores_equal_dfs(case, request):
     _model, batch, table, prune, final = request.getfixturevalue(case)
     ref = np.asarray(_dfs_scores(batch, final))
-    assign, offsets = lt.enumerate_leaves(batch, final)
-    lb = lt.build_leaf_arrays(
-        batch, assign, offsets, np_total=table.shape[0], prune=prune
+    lb, rows, conf, offsets = _dense_from_batch(
+        batch, table, prune
     )
-    host = lt.leaf_scores_host(lb, table)
+    assert len(lb.out_live) == 0  # caps cover everything here
+    host, _ = lt.leaf2_scores_host(rows, lb, conf)
     np.testing.assert_allclose(host, ref, rtol=RTOL, atol=ATOL)
-    dev = np.asarray(
-        lt.leaf_scores_device(
-            jnp.asarray(table), jnp.asarray(lb.rows), jnp.asarray(lb.cross),
-            jnp.asarray(lb.lig), jnp.asarray(lb.conformers), lb.n_lig,
+    dev, _out = lt.leaf2_scores_device(
+        jnp.asarray(rows), jnp.asarray(lb.ends2),
+        jnp.asarray(lb.plane_score), jnp.asarray(lb.plane_cross),
+        jnp.asarray(lb.prune_w), jnp.asarray(conf),
+        jnp.asarray(lb.out_ends), w_cap=lb.prune_w.shape[1],
+    )
+    np.testing.assert_allclose(np.asarray(dev), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_outlier_demotion_equals_dfs(small_case):
+    """Tight caps force heavy ligands into the outlier set; the dense
+    scores for the rest plus the outlier sub-table DFS must reproduce the
+    full DFS exactly."""
+    import types
+
+    _model, batch, table, prune, final = small_case
+    ref = np.asarray(_dfs_scores(batch, final))
+    lb, rows, conf, offsets = _dense_from_batch(
+        batch, table, prune, l_cap=32, w_cap=128
+    )
+    assert len(lb.out_live) > 0  # the point of this test
+    host, out_rows = lt.leaf2_scores_host(rows, lb, conf)
+    tbl = np.asarray(out_rows, np.float32)[: lb.n_out_rows].copy()
+    tbl[lb.out_prune[: lb.n_out_rows]] = -1.0
+    duck = types.SimpleNamespace(
+        dfs_arrays=(
+            lb.out_pair_starts, lb.out_conformers,
+            lb.out_active_offsets, lb.out_cand_counts,
         )
     )
-    np.testing.assert_allclose(dev, ref, rtol=RTOL, atol=ATOL)
+    out_scores = _dfs_scores(duck, tbl)
+    merged = host.copy()
+    for k, li in enumerate(lb.out_live):
+        merged[int(li)] = out_scores[k]
+    np.testing.assert_allclose(merged, ref, rtol=RTOL, atol=ATOL)
 
 
 def test_gate_actually_closes(big_case):
@@ -119,17 +179,16 @@ def test_short_conformer_counts(small_case):
     batch, table, prune, final = _batch_and_table(model, cut)
     assert int(batch.num_conformers.min()) < int(batch.num_conformers.max())
     ref = np.asarray(_dfs_scores(batch, final))
-    assign, offsets = lt.enumerate_leaves(batch, final)
-    lb = lt.build_leaf_arrays(
-        batch, assign, offsets, np_total=table.shape[0], prune=prune
+    lb, rows, conf, _ = _dense_from_batch(
+        batch, table, prune
     )
-    dev = np.asarray(
-        lt.leaf_scores_device(
-            jnp.asarray(table), jnp.asarray(lb.rows), jnp.asarray(lb.cross),
-            jnp.asarray(lb.lig), jnp.asarray(lb.conformers), lb.n_lig,
-        )
+    dev, _ = lt.leaf2_scores_device(
+        jnp.asarray(rows), jnp.asarray(lb.ends2),
+        jnp.asarray(lb.plane_score), jnp.asarray(lb.plane_cross),
+        jnp.asarray(lb.prune_w), jnp.asarray(conf),
+        jnp.asarray(lb.out_ends), w_cap=lb.prune_w.shape[1],
     )
-    np.testing.assert_allclose(dev, ref, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(dev), ref, rtol=RTOL, atol=ATOL)
 
 
 def test_store_roundtrip_leaf_vs_dfs(tmp_path):
@@ -145,18 +204,47 @@ def test_store_roundtrip_leaf_vs_dfs(tmp_path):
     meta = write_v3_store(
         tmp_path, pm, packed, names, batch_size=64, verbose=False
     )
-    assert "leaf_nl" in meta and "leaf_r" in meta
+    assert "leaf2_l" in meta and "leaf2_w" in meta
     store = TiledStore(tmp_path, pm)
     scr = BatchScreener(model, engine="v3", pallas_interpret=True)
     leaf, dfs = [], []
     for bi in range(store.n_batches):
         sb = store.load(bi)
-        assert sb.leaf_rows is not None
-        assert sb.leaf_rows.shape == (meta["leaf_nl"], meta["leaf_r"])
+        assert sb.leaf2_ps is not None
+        assert sb.leaf2_ps.shape == (
+            64, meta["leaf2_l"], meta["leaf2_w"] // 8
+        )
         leaf.extend(scr.score_stored(sb))
         sb2 = store.load(bi)
-        sb2.leaf_rows = sb2.leaf_cross = sb2.leaf_lig = sb2.leaf_conf = None
+        sb2.leaf2_ps = sb2.leaf2_pc = sb2.leaf2_pw = None
+        sb2.leaf2_ends = sb2.leaf2_out_ends = sb2.leaf2_out = None
         dfs.extend(scr.score_stored(sb2))
+    np.testing.assert_allclose(leaf, dfs, rtol=RTOL, atol=ATOL)
+
+
+def test_store_roundtrip_with_forced_outliers(tmp_path):
+    """Stores whose cap selection demotes ligands to the host DFS must
+    still match the pure-DFS scores (exercises the zero-sentinel empty
+    pairs and the outlier sub-table end to end)."""
+    from pharmaconet_tpu.scoring import tiled_store as ts
+
+    model = make_synthetic_model(num_clusters=20, seed=5)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(96, seed=21)
+    ts.write_v3_store(
+        tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
+        batch_size=96, verbose=False, leaf_caps=(24, 128),
+    )
+    store = ts.TiledStore(tmp_path, pm)
+    scr = BatchScreener(model, engine="v3", pallas_interpret=True)
+    sb = store.load(0)
+    assert sb.leaf2_ps is not None
+    assert len(sb.leaf2_out["live"]) > 0
+    leaf = scr.score_stored(sb)
+    sb2 = store.load(0)
+    sb2.leaf2_ps = sb2.leaf2_pc = sb2.leaf2_pw = None
+    sb2.leaf2_ends = sb2.leaf2_out_ends = sb2.leaf2_out = None
+    dfs = scr.score_stored(sb2)
     np.testing.assert_allclose(leaf, dfs, rtol=RTOL, atol=ATOL)
 
 
@@ -170,10 +258,10 @@ def test_store_without_leaves_still_works(tmp_path):
         tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
         batch_size=32, verbose=False, bake_leaves=False,
     )
-    assert "leaf_nl" not in meta
+    assert "leaf2_l" not in meta
     store = TiledStore(tmp_path, pm)
     scr = BatchScreener(model, engine="v3", pallas_interpret=True)
     sb = store.load(0)
-    assert sb.leaf_rows is None
+    assert sb.leaf2_ps is None
     scores = scr.score_stored(sb)
     assert len(scores) == sb.batch_len
