@@ -194,12 +194,19 @@ def enumerate_leaves(batch, table: np.ndarray, native: bool | None = None):
 # The first device formulation of leaf evaluation gathered [NL, R] table
 # rows per batch (leaf-major row indices). Chip-measured marginal:
 # 54.6 ms/2048-batch — TPU row gathers run ~5 ns/row, 25x the whole pair
-# kernel. This layout instead pads each ligand's pair rows to a window of
-# w_cap slots ([B, W, C] table via ONE take) and bakes the leaf structure
-# as bit-packed one-hot matrices, so leaf evaluation is two MXU batch
-# matmuls (~4.3 ms measured for the whole chain). Heavy-tail ligands
-# (leaves > l_cap or pairs > w_cap, ~p97 caps) are demoted to the host
-# DFS over a small device-gathered sub-table.
+# kernel. This layout instead packs each ligand's pair rows into a window
+# of w_cap slots ([B, W, C] table via ONE take) and bakes the leaf
+# structure as bit-packed one-hot matrices, so leaf evaluation is two MXU
+# batch matmuls. Heavy-tail ligands (leaves > l_cap or referenced pairs >
+# w_cap, ~p97 caps) are demoted to the host DFS over a small
+# device-gathered sub-table.
+#
+# Window slots hold only pairs REFERENCED by some leaf (a self row of an
+# assigned cluster or a cross row of an assigned pair). Measured on the
+# bench pool, leaves touch just 13% of pair rows (66/ligand median vs 224
+# total pairs), so referenced-only windows halve w_cap and cut the
+# screen-time row gather — the dominant leaf-chain cost at ~5 ns/slot —
+# by ~2x (probes/probe_gather_variants.py).
 
 
 @dataclass
@@ -231,6 +238,62 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _leaf_coords(a: np.ndarray, cc: np.ndarray):
+    """(leaf_idx, row_idx, is_cross) flat bit coordinates of the rows the
+    leaves in `a` [Lb, n] reference: the self row of every assigned
+    cluster plus the cross row of every assigned pair."""
+    leaves_b, n = a.shape
+    cross_off, self_off, _ = _ligand_offsets(n, cc)
+    assigned = a >= 0
+    lidx = np.repeat(np.arange(leaves_b), n)
+    srows = (self_off[None, :] + a).ravel()
+    svalid = assigned.ravel()
+    parts_l = [lidx[svalid]]
+    parts_r = [srows[svalid]]
+    parts_x = [np.zeros(int(svalid.sum()), bool)]
+    iu, ju = np.triu_indices(n, k=1)
+    if len(iu):
+        xr = (
+            cross_off[iu, ju][None, :]
+            + a[:, iu] * cc[ju][None, :]
+            + a[:, ju]
+        ).ravel()
+        xvalid = (assigned[:, iu] & assigned[:, ju]).ravel()
+        lxid = np.repeat(np.arange(leaves_b), len(iu))
+        parts_l.append(lxid[xvalid])
+        parts_r.append(xr[xvalid])
+        parts_x.append(np.ones(int(xvalid.sum()), bool))
+    return (
+        np.concatenate(parts_l),
+        np.concatenate(parts_r),
+        np.concatenate(parts_x),
+    )
+
+
+def leaf_window_stats(
+    assign: np.ndarray,
+    offsets: np.ndarray,
+    active_offsets: np.ndarray,
+    cand_counts: np.ndarray,
+):
+    """Per-ligand (n_referenced_rows, n_leaves) — the sizing inputs for
+    the store-wide w_cap/l_cap choice (write_v3_store pass 2b)."""
+    num = len(offsets) - 1
+    nref = np.zeros(num, np.int64)
+    leaves = np.diff(offsets).astype(np.int64)
+    for li in range(num):
+        lo, hi = int(offsets[li]), int(offsets[li + 1])
+        if hi == lo:
+            continue
+        a_lo, a_hi = int(active_offsets[li]), int(active_offsets[li + 1])
+        n = a_hi - a_lo
+        cc = cand_counts[a_lo:a_hi].astype(np.int64)
+        a = assign[lo:hi, :n].astype(np.int64)
+        _, rows_l, _ = _leaf_coords(a, cc)
+        nref[li] = len(np.unique(rows_l))
+    return nref, leaves
+
+
 def build_leaf_dense(
     assign: np.ndarray,
     offsets: np.ndarray,
@@ -249,7 +312,10 @@ def build_leaf_dense(
     """Bake the enumerated leaves into the dense window layout.
 
     All shape params are store-wide statics; a ligand whose leaf count or
-    pair-row count exceeds the caps joins the outlier (host DFS) set."""
+    leaf-referenced row count exceeds the caps joins the outlier (host
+    DFS) set. Window slot j of a ligand holds its j-th REFERENCED pair
+    row (sorted ligand-relative order) — rows no leaf touches get no
+    slot, which halves w_cap on the bench pool."""
     num = len(conformers)
     w8 = w_cap // 8
     assert w_cap % 8 == 0
@@ -276,7 +342,8 @@ def build_leaf_dense(
         lo, hi = int(offsets[li]), int(offsets[li + 1])
         leaves_b = hi - lo
         a_lo, a_hi = int(active_offsets[li]), int(active_offsets[li + 1])
-        if rows_b > w_cap or leaves_b > l_cap:
+
+        def demote() -> None:
             out_live.append(li)
             out_rows_list.append(row_of[ps:pe])
             out_prune_list.append(prune[ps:pe])
@@ -284,32 +351,28 @@ def build_leaf_dense(
             out_conf.append(int(conformers[li]))
             out_cc.append(cand_counts[a_lo:a_hi])
             out_ao.append(out_ao[-1] + (a_hi - a_lo))
+
+        if leaves_b > l_cap:
+            demote()
             out_at += rows_b
             continue
-        ends2[li * w_cap : li * w_cap + rows_b] = row_of[ps:pe]
-        prune_w[li, :rows_b] = prune[ps:pe]
         if leaves_b == 0:
+            # no leaves -> score 0 with an all-sentinel (empty) window
             continue
         n = a_hi - a_lo
         cc = cand_counts[a_lo:a_hi].astype(np.int64)
-        cross_off, self_off, _rows = _ligand_offsets(n, cc)
         a = assign[lo:hi, :n].astype(np.int64)  # [Lb, n]
-        assigned = a >= 0
-        lidx = np.repeat(np.arange(leaves_b), n)
-        srows = (self_off[None, :] + a).ravel()
-        svalid = assigned.ravel()
-        plane_s[li, lidx[svalid], srows[svalid]] = True
-        iu, ju = np.triu_indices(n, k=1)
-        if len(iu):
-            xr = (
-                cross_off[iu, ju][None, :]
-                + a[:, iu] * cc[ju][None, :]
-                + a[:, ju]
-            ).ravel()
-            xvalid = (assigned[:, iu] & assigned[:, ju]).ravel()
-            lxid = np.repeat(np.arange(leaves_b), len(iu))
-            plane_s[li, lxid[xvalid], xr[xvalid]] = True
-            plane_c[li, lxid[xvalid], xr[xvalid]] = True
+        lidx, rows_l, is_x = _leaf_coords(a, cc)
+        ref = np.unique(rows_l)  # referenced ligand-relative rows, sorted
+        if len(ref) > w_cap:
+            demote()
+            out_at += rows_b
+            continue
+        ends2[li * w_cap : li * w_cap + len(ref)] = row_of[ps + ref]
+        prune_w[li, : len(ref)] = prune[ps + ref]
+        slot = np.searchsorted(ref, rows_l)
+        plane_s[li, lidx, slot] = True
+        plane_c[li, lidx[is_x], slot[is_x]] = True
 
     n_out_rows = out_at
     nout = nout_pad if nout_pad is not None else max(_round_up(out_at, 8), 8)

@@ -520,42 +520,48 @@ def write_v3_store(
     if scorer is not None:
         # pass 2b: bake the raw leaf enumerations into the dense window
         # layout (leaf_tree.build_leaf_dense). Caps are store-wide statics
-        # chosen at ~p97 of the per-ligand leaf/pair distributions (hard
-        # ceilings 256 leaves / 512 window slots); heavy-tail ligands
-        # above the caps join the host-DFS outlier set.
-        from .leaf_tree import build_leaf_dense
+        # chosen at ~p97 of the per-ligand leaf / leaf-REFERENCED-row
+        # distributions (hard ceilings 256 leaves / 512 window slots);
+        # heavy-tail ligands above the caps join the host-DFS outlier set.
+        from .leaf_tree import build_leaf_dense, leaf_window_stats
 
-        stats: list[tuple[int, np.ndarray, np.ndarray]] = []
+        stats: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
         for bi in range(n_batches):
             bdir = out / "batches" / f"{bi:05d}"
             if not (bdir / "leaves_raw.npz").exists():
                 continue
             host = np.load(bdir / "host.npz")
-            offsets = np.load(bdir / "leaves_raw.npz")["offsets"]
+            raw = np.load(bdir / "leaves_raw.npz")
             ps = host["dfs_pair_starts"]
             rows_per = np.diff(np.append(ps, len(host["pair_end_rows"])))
-            stats.append((bi, rows_per.astype(np.int64), np.diff(offsets)))
+            nref_per, leaves_per = leaf_window_stats(
+                raw["assign"], raw["offsets"],
+                host["dfs_active_offsets"], host["dfs_cand_counts"],
+            )
+            stats.append(
+                (bi, rows_per.astype(np.int64), nref_per, leaves_per)
+            )
         if stats:
-            all_rows = np.concatenate([r for _, r, _ in stats])
-            all_leaves = np.concatenate([l for _, _, l in stats])
+            all_ref = np.concatenate([r for _, _, r, _ in stats])
+            all_leaves = np.concatenate([l for _, _, _, l in stats])
             rnd = lambda n, m: int(((max(int(n), 1) + m - 1) // m) * m)  # noqa: E731
             if leaf_caps is not None:
                 l_cap, w_cap = rnd(leaf_caps[0], 8), rnd(leaf_caps[1], 128)
             else:
                 l_cap = min(rnd(np.percentile(all_leaves, 97), 32), 256)
-                w_cap = min(rnd(np.percentile(all_rows, 97), 128), 512)
+                w_cap = min(rnd(np.percentile(all_ref, 97), 128), 512)
                 # covering the true maxima costs nothing extra when close
                 if all_leaves.max() <= 256:
                     l_cap = max(l_cap, rnd(all_leaves.max(), 32))
-                if all_rows.max() <= 512:
-                    w_cap = max(w_cap, rnd(all_rows.max(), 128))
+                if all_ref.max() <= 512:
+                    w_cap = max(w_cap, rnd(all_ref.max(), 128))
             nbt = t_max * TILE
             nout = 8
-            for bi, rows_per, leaves_per in stats:
-                outlier = (rows_per > w_cap) | (leaves_per > l_cap)
+            for bi, rows_per, nref_per, leaves_per in stats:
+                outlier = (nref_per > w_cap) | (leaves_per > l_cap)
                 nout = max(nout, int(rows_per[outlier].sum()))
             nout = ((nout + 7) // 8) * 8
-            for bi, _rows_per, _leaves_per in stats:
+            for bi, _rows_per, _nref_per, _leaves_per in stats:
                 bdir = out / "batches" / f"{bi:05d}"
                 host = np.load(bdir / "host.npz")
                 raw = np.load(bdir / "leaves_raw.npz")
@@ -586,7 +592,7 @@ def write_v3_store(
             if verbose:
                 n_out_lig = sum(
                     int(((r > w_cap) | (l > l_cap)).sum())
-                    for _, r, l in stats
+                    for _, _, r, l in stats
                 )
                 print(
                     f"leaf bake: caps L={l_cap} W={w_cap}, outliers "
