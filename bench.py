@@ -173,6 +173,18 @@ _SMILES_POOL = [
 ]
 
 
+
+def _shape_env():
+    """(model_clusters, ligand_conformers) from BENCH_SHAPE / BENCH_CONF —
+    the shape-sensitivity knobs (PERF_NOTES "shape sweep"). Defaults match
+    the headline config (20-cluster model, 4 conformers)."""
+    import os
+
+    return (
+        int(os.environ.get("BENCH_SHAPE", "20")),
+        int(os.environ.get("BENCH_CONF", "4")),
+    )
+
 def bench_proxy(batch_size: int, iters: int):
     """Batched docking-proxy inference throughput (BASELINE config #5:
     pmnet_appl batched proxy inference on CrossDocked-style pockets).
@@ -234,9 +246,10 @@ def bench_host_pipeline(batch_size: int, iters: int, include_device: bool):
     )
     from pharmaconet_tpu.scoring.tiled_pack import build_tiled_batch
 
-    model = make_synthetic_model()
+    _nc, _conf = _shape_env()
+    model = make_synthetic_model(num_clusters=_nc)
     screener = BatchScreener(model)
-    packed = make_synthetic_ligands(batch_size)
+    packed = make_synthetic_ligands(batch_size, num_conformers=_conf)
     screener.score_packed(packed)  # warm: compiles + pages
 
     times = []
@@ -295,12 +308,13 @@ def bench_stored_pipeline(batch_size: int, iters: int):
         write_v3_store,
     )
 
-    model = make_synthetic_model()
+    _nc, _conf = _shape_env()
+    model = make_synthetic_model(num_clusters=_nc)
     # BENCH_THREADS shards the host tail's C++ DFS over threads (score-
     # identical; meaningful on multi-core TPU-VM hosts — this box has 1 vCPU)
     screener = BatchScreener(
         model, pack_threads=int(os.environ.get("BENCH_THREADS", "1")))
-    packed = make_synthetic_ligands(batch_size)
+    packed = make_synthetic_ligands(batch_size, num_conformers=_conf)
     tmp = tempfile.mkdtemp(prefix="bench_store_")
     # BENCH_STORE=v3 measures the block-major store's host tail (smaller
     # mmap stream); BENCH_LEAVES=0 opts the v3 store out of prepack-baked
@@ -457,9 +471,10 @@ def main():
         })
         return
 
-    model = make_synthetic_model()
+    _nc, _conf = _shape_env()
+    model = make_synthetic_model(num_clusters=_nc)
     screener = BatchScreener(model)
-    ligands = make_synthetic_ligands(batch_size)
+    ligands = make_synthetic_ligands(batch_size, num_conformers=_conf)
 
     t0 = time.time()
     batch = build_batch(screener.packed_model, ligands)

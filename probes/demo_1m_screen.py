@@ -159,17 +159,26 @@ def main() -> int:
     REPORT["replica_equality_checked"] = checked
     log(f"replica score equality: {checked} pairs ok")
 
-    # PERF_NOTES "stored-tail reconciliation": host tails tie at ~60k
-    # lig/s/core; the layouts differ in the per-batch STREAM (disk + PCIe
-    # + device<->host), which bounds every sustained transport
+    # Round-4 derivation (prepack-baked leaves + referenced-only windows;
+    # chip-measured 2026-08): the assignment DFS no longer runs on the
+    # host, so the stored path needs ONE host core, not ~16. Bounds:
+    #   device leaf chain (pair kernel + window gather + leaf matmuls +
+    #     epilogue): 6.01 ms/2048 = 341k lig/s/chip
+    #     (probes/probe_leaf_phases.py)
+    #   host tail (mmap load + dispatch + outlier DFS): 4.69 ms/2048 =
+    #     437k lig/s/core (BENCH_MODE=stored BENCH_STORE=v3)
+    #   stream: ~92 MB/2048 batch (dt+gid+tab+aux+planes+ends) at PCIe
+    #     ~20 GB/s = 4.6 ms = ~445k lig/s
     REPORT["projection"] = (
         {
-            "host_tail_lig_per_sec_per_core": 60700,
-            "device_kernel_lig_per_sec_chip": 930000,
-            "stream_mb_per_batch": 50.3,
-            "note": "v3 store: real TPU host (PCIe ~20 GB/s) pipeline = "
-                    "min(kernel 930k, stream ~950k, cores x 60.7k) — "
-                    "device-bound ~930k lig/s/chip from ~16 cores",
+            "host_tail_lig_per_sec_per_core": 437000,
+            "device_chain_lig_per_sec_chip": 341000,
+            "stream_mb_per_batch": 92.0,
+            "note": "v3+leaf store: real TPU host (PCIe ~20 GB/s) "
+                    "pipeline = min(device 341k, stream ~445k, "
+                    "1 core x 437k) — device-bound ~341k lig/s/chip "
+                    "from a single host core (the assignment tree is "
+                    "baked at prepack; no host DFS at screen time)",
         }
         if store_v == 3
         else {
