@@ -1,0 +1,327 @@
+"""Training + cache-build capability record (VERDICT round-3, next #5).
+
+Round 3 proved the DP trainer CORRECT (step == single-device, fit() on a
+2-device mesh); this demo demonstrates CAPABILITY and writes
+TRAIN_SCALE.json:
+
+Phase A (8-device virtual CPU mesh — this box has ONE physical core, so
+the DP number published is per-step wall time and DP EFFICIENCY
+(8 x single-item step time / DP-step time), not a wall-clock speedup;
+on real hardware each mesh slot is its own chip):
+  1. 32 pockets x 8 ligands, full DP fit() over a 40-step schedule with
+     the orbax async checkpoint backend
+  2. a forced mid-run KILL, then full-state resume under DP to completion
+  3. per-step wall time: DP(8 items/step) vs single-device(1 item/step)
+
+Phase B (real chip): ShardedCacheBuilder over >=64 pockets — the
+reference's serial cache-build loop
+(/root/reference/src/pmnet_appl/base/proxy.py:194-236) serves 15,201
+CrossDocked2020 pockets; we publish pockets/hour on this chip for both
+the fused sharded builder and the serial path.
+
+Run:  python probes/demo_train_scale.py [--phase a|b|all]
+Phase A needs no TPU (subprocesses run JAX_PLATFORMS=cpu with 8 virtual
+devices); phase B needs the relay up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path("/root/repo")
+WORK = Path(os.environ.get("DEMO_DIR", "/root/demo_train"))
+PHASE = "all"
+for i, a in enumerate(sys.argv):
+    if a == "--phase" and i + 1 < len(sys.argv):
+        PHASE = sys.argv[i + 1]
+
+N_POCKETS = int(os.environ.get("DEMO_POCKETS", "32"))
+N_STEPS = int(os.environ.get("DEMO_STEPS", "40"))
+KILL_AFTER_STEPS = N_STEPS // 2
+
+
+def log(msg):
+    print(f"[demo] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Phase A driver (runs in a SUBPROCESS under JAX_PLATFORMS=cpu, 8 devices)
+# ---------------------------------------------------------------------------
+_PHASE_A_WORKER = r'''
+import json, os, pickle, shutil, sys, time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+import jax
+# the axon sitecustomize force-registers the relay platform regardless of
+# JAX_PLATFORMS; re-pin to CPU (same trick as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+mode = sys.argv[1]            # "dp" | "single" | "resume"
+root = Path(sys.argv[2])
+n_pockets = int(sys.argv[3])
+n_steps = int(sys.argv[4])
+kill_after = int(sys.argv[5]) # steps before simulated crash (dp mode)
+
+from pharmaconet_tpu.module import PharmacoNet
+from pharmaconet_tpu.training.config import Config
+from pharmaconet_tpu.training.trainer import Trainer
+
+ARCH = dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=2,
+            token_feature_dim=16)
+PDB = "/root/reference/examples/6OIM_protein.pdb"
+REF = "/root/reference/examples/6OIM_D_MOV.pdb"
+
+pmnet = PharmacoNet(weight_path=None, score_threshold=0.0, verbose=False,
+                    max_hotspots=8, segmentation_chunk=4, grid_dim=16,
+                    model_kwargs=ARCH)
+pmnet.focus_threshold = 0.0
+center = pmnet.get_center(REF)
+
+data = root / "data"
+if not (data / "protein_info.csv").exists():
+    (data / "proteins").mkdir(parents=True, exist_ok=True)
+    codes = [f"pocket{i:03d}" for i in range(n_pockets)]
+    pdb_text = open(PDB).read()
+    lig = {}
+    smis = ["c1ccccc1", "CCO", "CC(=O)O", "Cc1ccc(O)cc1", "NC(=O)c1ccccc1",
+            "Clc1ccccc1", "CCN", "OCCO"]
+    for ci, code in enumerate(codes):
+        (data / "proteins" / f"{code}.pdb").write_text(pdb_text)
+        lig[code] = [(f"l{j}", smis[(ci + j) % len(smis)], -3.0 - j * 0.5)
+                     for j in range(8)]
+    (data / "protein_info.csv").write_text("\n".join(
+        f"{c},{center[0]},{center[1]},{center[2]}" for c in codes))
+    (data / "train_key.txt").write_text("\n".join(codes))
+    with open(data / "ligand.pkl", "wb") as f:
+        pickle.dump(lig, f)
+
+config = Config()
+config.log_dir = str(root / f"log_{mode}")
+config.data.protein_info_path = str(data / "protein_info.csv")
+config.data.train_protein_code_path = str(data / "train_key.txt")
+config.data.protein_dir = str(data / "proteins")
+config.data.ligand_path = str(data / "ligand.pkl")
+config.model.hidden_dim = 16
+config.model.ligand_num_convs = 2
+config.train.max_iterations = n_steps
+config.train.batch_size = 8 if mode != "single" else 1
+config.train.split_ratio = 1.0 if n_pockets > 2 else 0.5
+config.train.val_every = 10**9
+config.train.save_every = max(2, kill_after // 2)
+config.train.log_every = 1
+config.train.print_every = 10**9
+config.train.center_noise = 0.0
+if mode != "single":
+    config.train.checkpoint_backend = "orbax"
+
+mesh = None
+if mode != "single":
+    from pharmaconet_tpu.parallel.mesh import data_mesh
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+
+if mode == "resume":
+    shutil.rmtree(config.log_dir, ignore_errors=True)
+    os.rename(str(root / "log_dp"), config.log_dir)
+    trainer = Trainer(config, pmnet=pmnet, mesh=mesh)
+    ckpt = trainer.save_dir / "resume.ckpt"
+    assert ckpt.exists(), f"no resume.ckpt in {trainer.save_dir}"
+    t0 = time.time()
+    trainer.fit(resume_from=ckpt)
+    wall = time.time() - t0
+else:
+    trainer = Trainer(config, pmnet=pmnet, mesh=mesh)
+    t0 = time.time()
+    if mode == "dp" and kill_after > 0:
+        # simulated crash: run fit() with a step budget trap
+        steps_done = 0
+        orig = trainer._train_step if mesh is None else trainer.dp_step
+        def trap(*a, **k):
+            global steps_done
+            out = orig(*a, **k)
+            steps_done += 1
+            if steps_done >= kill_after:
+                trainer.wait_for_checkpoints()
+                print(json.dumps({"killed_at_step": steps_done,
+                                  "seconds": time.time() - t0}))
+                os._exit(77)   # hard exit mid-fit, like a crash
+            return out
+        if mesh is None:
+            trainer._train_step = trap
+        else:
+            trainer.dp_step = trap
+        trainer.fit()
+        raise SystemExit("trap did not fire")
+    trainer.fit()
+    wall = time.time() - t0
+
+metrics = [json.loads(l) for l in
+           (Path(config.log_dir) / "metrics.jsonl").read_text().splitlines()]
+train_losses = [m for m in metrics if "train/loss" in m]
+print(json.dumps({
+    "mode": mode, "wall_seconds": round(wall, 1),
+    "steps_logged": len(train_losses),
+    "last_step": max((m["step"] for m in train_losses), default=0),
+    "first_loss": train_losses[0]["train/loss"] if train_losses else None,
+    "last_loss": train_losses[-1]["train/loss"] if train_losses else None,
+}))
+sys.stdout.flush()
+os._exit(0)  # skip interpreter teardown (prefetcher/XLA destructor abort)
+'''
+
+
+def run_phase_a(report: dict) -> None:
+    WORK.mkdir(parents=True, exist_ok=True)
+    worker = WORK / "phase_a_worker.py"
+    worker.write_text(_PHASE_A_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+
+    def run(mode, steps, kill=0):
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, str(worker), mode, str(WORK), str(N_POCKETS),
+             str(steps), str(kill)],
+            env=env, cwd=str(REPO), capture_output=True, text=True)
+        out_lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        log(f"phase A [{mode}]: rc={p.returncode} "
+            f"({time.time()-t0:.0f}s wall incl. startup)")
+        if p.returncode not in (0, 77):
+            print(p.stdout[-3000:], file=sys.stderr)
+            print(p.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"phase A {mode} failed")
+        return json.loads(out_lines[-1]), p.returncode
+
+    # 1. DP fit, killed mid-run (rc 77 = simulated crash after checkpoint)
+    a, rc = run("dp", N_STEPS, KILL_AFTER_STEPS)
+    assert rc == 77, f"expected simulated crash, rc={rc}"
+    report["dp_killed"] = a
+
+    # 2. resume under DP to completion (orbax backend, full-state restore)
+    b, rc = run("resume", N_STEPS)
+    assert rc == 0
+    report["dp_resumed"] = b
+    assert b["last_step"] == N_STEPS, b
+
+    # 3. fresh single-device run (batch 1) for the efficiency ratio
+    c, rc = run("single", N_STEPS)
+    assert rc == 0
+    report["single"] = c
+
+    dp_total = a["seconds"] + b["wall_seconds"]
+    dp_steps = b["last_step"]  # final step count across kill + resume
+    dp_step_s = dp_total / max(dp_steps, 1)
+    single_step_s = c["wall_seconds"] / max(c["last_step"], 1)
+    report["dp_step_seconds"] = round(dp_step_s, 3)
+    report["single_item_step_seconds"] = round(single_step_s, 3)
+    # 8 items/step under DP vs 1 item/step single: ideal ratio is 8x
+    # single-item time on ONE shared physical core
+    report["dp_efficiency_one_core"] = round(
+        8 * single_step_s / dp_step_s, 3)
+    report["note_phase_a"] = (
+        "8 virtual CPU devices on 1 physical core: dp_efficiency is "
+        "(8 x single-item step)/(DP step) — sharding overhead shows as "
+        "< 1.0; wall-clock speedup requires real chips")
+    log(f"phase A: DP step {dp_step_s:.2f}s (8 items), single-item step "
+        f"{single_step_s:.2f}s, efficiency {report['dp_efficiency_one_core']}")
+
+
+# ---------------------------------------------------------------------------
+# Phase B: sharded cache build on the real chip
+# ---------------------------------------------------------------------------
+def run_phase_b(report: dict) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pharmaconet_tpu.module import PharmacoNet
+    from pharmaconet_tpu.parallel.mesh import data_mesh
+    from pharmaconet_tpu.parallel.proxy import ShardedCacheBuilder
+    from pharmaconet_tpu.proxy.data import (
+        batch_graphs, graph_batch_to_arrays, smi2graph)
+    from pharmaconet_tpu.proxy.sbddreward import SBDDReward_Proxy
+
+    n_pockets = int(os.environ.get("DEMO_CACHE_POCKETS", "64"))
+    PDB = "/root/reference/examples/6OIM_protein.pdb"
+    REF = "/root/reference/examples/6OIM_D_MOV.pdb"
+
+    pmnet = PharmacoNet(weight_path=None, verbose=False)
+    proxy = SBDDReward_Proxy()
+    proxy.pmnet = pmnet
+
+    features, _ = pmnet.feature_extraction(PDB, REF)
+    feats = [jnp.asarray(f) for f in features]
+    batch = graph_batch_to_arrays(
+        batch_graphs([smi2graph("CCO")], pad_multiple=8), categorical=False)
+    proxy.params = proxy.model.init(
+        jax.random.PRNGKey(0), feats, jnp.zeros((2, 16)),
+        jnp.zeros((2, 3)), batch)
+
+    center = pmnet.get_center(REF)
+    pocket_info = {
+        f"p{i:03d}": (PDB, tuple(np.asarray(center) + (i % 5) * 0.01))
+        for i in range(n_pockets)
+    }
+
+    builder = ShardedCacheBuilder(proxy, mesh=data_mesh(jax.devices()))
+    # warm compile on a 1-pocket slice, then time the full build
+    builder.get_cache_database(
+        {"warm": pocket_info["p000"]}, verbose=False)
+    t0 = time.time()
+    db = builder.get_cache_database(dict(pocket_info), verbose=False)
+    sharded_s = time.time() - t0
+    assert set(db) == set(pocket_info)
+
+    t0 = time.time()
+    serial_keys = list(pocket_info)[: max(8, n_pockets // 8)]
+    db2 = proxy.get_cache_database(
+        {k: pocket_info[k] for k in serial_keys}, verbose=False)
+    serial_s = time.time() - t0
+    assert set(db2) == set(serial_keys)
+
+    report["cache_build"] = {
+        "n_pockets": n_pockets,
+        "sharded_seconds": round(sharded_s, 1),
+        "sharded_pockets_per_hour": round(n_pockets / sharded_s * 3600),
+        "serial_sample_n": len(serial_keys),
+        "serial_seconds": round(serial_s, 1),
+        "serial_pockets_per_hour": round(len(serial_keys) / serial_s * 3600),
+        "crossdocked_15201_hours_sharded": round(
+            15201 / (n_pockets / sharded_s) / 3600, 2),
+        "devices": len(jax.devices()),
+        "note": "same 6OIM pocket replicated with jittered centers "
+                "(declared); parse cost is per-pocket real, NN+encoder "
+                "fused on device",
+    }
+    log(f"phase B: sharded {n_pockets} pockets in {sharded_s:.0f}s "
+        f"({report['cache_build']['sharded_pockets_per_hour']}/h), serial "
+        f"sample {len(serial_keys)} in {serial_s:.0f}s")
+
+
+def main() -> int:
+    report: dict = {"n_pockets_phase_a": N_POCKETS, "steps": N_STEPS}
+    if PHASE in ("a", "all"):
+        run_phase_a(report)
+    if PHASE in ("b", "all"):
+        run_phase_b(report)
+    out = REPO / "TRAIN_SCALE.json"
+    if out.exists() and PHASE != "all":
+        old = json.loads(out.read_text())
+        old.update(report)
+        report = old
+    out.write_text(json.dumps(report, indent=1))
+    log("wrote TRAIN_SCALE.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
