@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> int:
+    from pharmaconet_tpu.utils.compile_cache import enable_compile_cache
+
+    # --smiles with the jax backend compiles one embed program per bucket
+    # shape (chem/embed.py) — minutes of cold compile through a relay;
+    # cache them like every other CLI does
+    enable_compile_cache()
+
     from pharmaconet_tpu.scoring.library import (
         build_library_from_files,
         build_library_from_smiles,

@@ -421,9 +421,14 @@ def leaf2_scores_device(
     One window take + two MXU batch matmuls evaluate every baked leaf:
     S[b,l,c] = sum of the leaf's selected window values, D[b,l,c] = count
     of its non-positive cross values (> 0 kills the leaf — the DFS's
-    conformer pruning). The pair values stay f32 end to end (bf16 would
-    blow the repo's 2e-5 score tolerance); the D count matmul runs
-    bf16 x bf16 -> f32, exact for 0/1 operands."""
+    conformer pruning). The pair values stay f32 end to end: the S
+    einsum MUST run at Precision.HIGHEST — TPU default matmul precision
+    truncates f32 operands to one bf16 pass, which deviated real-library
+    scores by up to ~4e-4 relative on chip (caught by the SCALE_REAL
+    spot check; invisible to the CPU-mesh CI, where f32 matmuls are
+    true f32). One-hot x f32 at HIGHEST is exact up to accumulation
+    order. The D count matmul runs bf16 x bf16 -> f32, exact for 0/1
+    operands at any precision."""
     c = rows.shape[1]
     b = prune_w.shape[0]
     rows_z = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)], axis=0)
@@ -432,7 +437,8 @@ def leaf2_scores_device(
     a_s = jnp.unpackbits(plane_s, axis=2, count=w_cap).astype(rows.dtype)
     a_c = jnp.unpackbits(plane_c, axis=2, count=w_cap).astype(jnp.bfloat16)
     s = jnp.einsum(
-        "blw,bwc->blc", a_s, tw, preferred_element_type=jnp.float32
+        "blw,bwc->blc", a_s, tw, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d = jnp.einsum(
         "blw,bwc->blc",

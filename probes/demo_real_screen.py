@@ -50,10 +50,15 @@ def log(msg):
     print(f"[demo] {msg}", flush=True)
 
 
-def run_timed(label: str, cmd: list[str]) -> float:
+def run_timed(label: str, cmd: list[str], cpu_only: bool = False) -> float:
     log(f"{label}: {' '.join(cmd)}")
+    env = dict(os.environ)
+    if cpu_only:
+        # host-only stage: keep it off the relay so device flaps can't
+        # stall it (the CLIs honor an explicit JAX_PLATFORMS)
+        env["JAX_PLATFORMS"] = "cpu"
     t0 = time.time()
-    rc = subprocess.run(cmd, cwd="/root/repo").returncode
+    rc = subprocess.run(cmd, cwd="/root/repo", env=env).returncode
     dt = time.time() - t0
     assert rc == 0, f"{label} failed rc={rc}"
     log(f"{label}: {dt:.0f}s")
@@ -117,7 +122,7 @@ def main() -> int:
         sys.executable, "prepack.py", "--library", str(lib_npz),
         "-p", str(model_path), "--tiles_out", str(tiles),
         "--batch_size", str(BATCH),
-    ])
+    ], cpu_only=True)
     du = subprocess.run(["du", "-sb", str(tiles)], capture_output=True,
                         text=True)
     REPORT["tiles_prepack"] = {
