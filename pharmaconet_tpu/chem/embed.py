@@ -339,6 +339,14 @@ def _device_embed_program():
         u = u + jnp.swapaxes(u, 2, 3)
         dist = lo[:, None] + u * (up - lo)[:, None]
         dist = dist.reshape(m * count, nb, nb)
+        # zero padded pairs (their smoothed bounds are the finite cap, so
+        # sampled values are nonzero) — _mds_masked divides the row/col/tot
+        # sums by the REAL atom count and needs padding to contribute 0
+        mask = (
+            jnp.arange(nb)[None, :] < jnp.repeat(nreal, count)[:, None]
+        ).astype(jnp.float32)
+        pair_mask = mask[:, :, None] * mask[:, None, :]
+        dist = dist * pair_mask
 
         # 3. masked classical MDS (mirrors _mds_masked). Top-3 eigenpairs
         # via shifted subspace iteration instead of a full eigh — batched
@@ -354,10 +362,7 @@ def _device_embed_program():
         col = d2.sum(axis=1, keepdims=True) / cnt
         tot = d2.sum(axis=(1, 2), keepdims=True) / (cnt * cnt)
         gram = -0.5 * (d2 - row - col + tot)
-        mask = (
-            jnp.arange(nb)[None, :] < jnp.repeat(nreal, count)[:, None]
-        ).astype(jnp.float32)
-        gram = gram * (mask[:, :, None] * mask[:, None, :])
+        gram = gram * pair_mask
         shift = jnp.abs(gram).sum(axis=2).max(axis=1)  # Gershgorin |λ| bound
         gs = gram + shift[:, None, None] * jnp.eye(nb)[None]
         q = gram[:, :, :3]  # deterministic init with generic overlap

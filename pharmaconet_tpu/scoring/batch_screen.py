@@ -917,7 +917,8 @@ class BatchScreener:
         pack_threads: int = 1,
     ):
         if isinstance(model, PackedModel):
-            assert weights is None, "weights are baked into a PackedModel"
+            if weights is not None:
+                raise ValueError("weights are baked into a PackedModel")
             self.packed_model = model
         else:
             self.packed_model = PackedModel.from_model(model, weights)

@@ -148,6 +148,58 @@ def _dfs_arrays(batch):
     )
 
 
+# |pair score| below this margin is treated as sign-unstable between the
+# prepack backend and the screen-time device. A cross-pair score is either
+# exactly -1.0 (fail-gated; the gate compares f32 ops on STORE-SHIPPED
+# dt/mu/inv inputs, so it is reproducible) or a sum of positive gaussian
+# terms — its sign can only flip where one backend flushes the subnormal/
+# underflow tail to exact 0.0 and the other keeps a tiny positive value
+# (TPU flushes subnormals; CPU exp keeps them). That region is bounded by
+# ~mn_cap * f32_min_normal ~ 3e-36; 1e-30 covers it with 5 orders of
+# margin while demoting essentially nothing (a 1e-5 margin demoted ~half
+# the library: tiny positive gaussian tails are common and sign-SAFE).
+SIGN_EPS = 1e-30
+
+
+def near_zero_gate_flags(
+    batch,
+    table: np.ndarray,
+    pair_end_rows: np.ndarray,
+    prune: np.ndarray,
+    eps: float = SIGN_EPS,
+) -> np.ndarray:
+    """[num] bool: the ligand has a gate-relevant (cross-pair, real kernel
+    row, unpruned) cell with |value| < eps among its live conformers.
+
+    Cross rows are the only values whose SIGN the DFS gates on (conformer
+    pruning on pair > 0, reference tree.py:81). Compaction sentinels
+    (empty pairs, exactly 0.0 on both host and device) and pruned rows
+    (forced -1.0) are sign-exact by construction and excluded. Real rows
+    computed as exact 0.0 (fully underflowed sums) ARE flagged — the
+    other backend may keep a subnormal positive there. Residual exposure:
+    a fail-count gate comparison landing within 1 ULP of its 4.0
+    boundary under different fusion (FMA) choices — per-value measure
+    zero, absorbed by the repo-standard score tolerance."""
+    pair_starts, conformers, active_offsets, cand_counts = _dfs_arrays(batch)
+    num = len(conformers)
+    bounds = np.append(pair_starts, len(pair_end_rows)).astype(np.int64)
+    flags = np.zeros(num, bool)
+    for li in range(num):
+        a_lo, a_hi = int(active_offsets[li]), int(active_offsets[li + 1])
+        n_self = int(cand_counts[a_lo:a_hi].sum())
+        lo = int(bounds[li]) + n_self
+        hi = int(bounds[li + 1])
+        c = int(conformers[li])
+        if hi <= lo or c == 0:
+            continue
+        real = (pair_end_rows[lo:hi] >= 0) & ~prune[lo:hi]
+        if not real.any():
+            continue
+        sub = table[lo:hi][real][:, :c]
+        flags[li] = bool((np.abs(sub) < eps).any())
+    return flags
+
+
 def enumerate_leaves(batch, table: np.ndarray, native: bool | None = None):
     """(assign [NL, lmax] i8, leaf_offsets [B+1] i64) of the gated tree.
 
@@ -308,6 +360,7 @@ def build_leaf_dense(
     nbt: int,
     batch_size: int,
     nout_pad: int | None = None,
+    force_demote: np.ndarray | None = None,
 ) -> DenseLeafBatch:
     """Bake the enumerated leaves into the dense window layout.
 
@@ -315,7 +368,13 @@ def build_leaf_dense(
     leaf-referenced row count exceeds the caps joins the outlier (host
     DFS) set. Window slot j of a ligand holds its j-th REFERENCED pair
     row (sorted ligand-relative order) — rows no leaf touches get no
-    slot, which halves w_cap on the bench pool."""
+    slot, which halves w_cap on the bench pool.
+
+    force_demote [num] bool sends a ligand to the outlier set regardless
+    of caps — used for ligands whose gate-relevant pair scores sit within
+    epsilon of zero, where prepack-host vs screen-device f32 rounding
+    could flip a sign bit and change the visited leaf set (the outlier
+    DFS reruns the search on screen-time values, so it is always exact)."""
     num = len(conformers)
     w8 = w_cap // 8
     assert w_cap % 8 == 0
@@ -352,7 +411,9 @@ def build_leaf_dense(
             out_cc.append(cand_counts[a_lo:a_hi])
             out_ao.append(out_ao[-1] + (a_hi - a_lo))
 
-        if leaves_b > l_cap:
+        if leaves_b > l_cap or (
+            force_demote is not None and force_demote[li]
+        ):
             demote()
             out_at += rows_b
             continue

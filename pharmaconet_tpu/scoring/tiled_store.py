@@ -437,13 +437,21 @@ def write_v3_store(
             # consumes) and save the RAW enumeration; pass 2b bakes it
             # into the dense window layout once the store-wide caps and
             # row count are known
-            from .leaf_tree import enumerate_leaves
+            from .leaf_tree import enumerate_leaves, near_zero_gate_flags
 
             expanded = np.asarray(scorer.run_device(batch))
             table = compact_pair_table(batch, expanded)
             table[: len(prune)][prune] = -1.0
             assign, offsets = enumerate_leaves(vb, table)
-            np.savez(bdir / "leaves_raw.npz", assign=assign, offsets=offsets)
+            # ligands whose gate sign bits sit within epsilon of zero are
+            # demoted to the screen-time host DFS (ADVICE r4: cross-backend
+            # f32 rounding can flip a near-zero sign and change the baked
+            # leaf set)
+            sign_risky = near_zero_gate_flags(
+                vb, table, vb.pair_end_rows, prune
+            )
+            np.savez(bdir / "leaves_raw.npz", assign=assign,
+                     offsets=offsets, sign_risky=sign_risky)
 
     np_max = 0
     for bi in range(n_batches):
@@ -525,7 +533,7 @@ def write_v3_store(
         # heavy-tail ligands above the caps join the host-DFS outlier set.
         from .leaf_tree import build_leaf_dense, leaf_window_stats
 
-        stats: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+        stats: list[tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         for bi in range(n_batches):
             bdir = out / "batches" / f"{bi:05d}"
             if not (bdir / "leaves_raw.npz").exists():
@@ -538,12 +546,17 @@ def write_v3_store(
                 raw["assign"], raw["offsets"],
                 host["dfs_active_offsets"], host["dfs_cand_counts"],
             )
+            risky = (
+                raw["sign_risky"]
+                if "sign_risky" in raw
+                else np.zeros(len(nref_per), bool)
+            )
             stats.append(
-                (bi, rows_per.astype(np.int64), nref_per, leaves_per)
+                (bi, rows_per.astype(np.int64), nref_per, leaves_per, risky)
             )
         if stats:
-            all_ref = np.concatenate([r for _, _, r, _ in stats])
-            all_leaves = np.concatenate([l for _, _, _, l in stats])
+            all_ref = np.concatenate([r for _, _, r, _, _ in stats])
+            all_leaves = np.concatenate([l for _, _, _, l, _ in stats])
             rnd = lambda n, m: int(((max(int(n), 1) + m - 1) // m) * m)  # noqa: E731
             if leaf_caps is not None:
                 l_cap, w_cap = rnd(leaf_caps[0], 8), rnd(leaf_caps[1], 128)
@@ -557,11 +570,11 @@ def write_v3_store(
                     w_cap = max(w_cap, rnd(all_ref.max(), 128))
             nbt = t_max * TILE
             nout = 8
-            for bi, rows_per, nref_per, leaves_per in stats:
-                outlier = (nref_per > w_cap) | (leaves_per > l_cap)
+            for bi, rows_per, nref_per, leaves_per, risky in stats:
+                outlier = (nref_per > w_cap) | (leaves_per > l_cap) | risky
                 nout = max(nout, int(rows_per[outlier].sum()))
             nout = ((nout + 7) // 8) * 8
-            for bi, _rows_per, _nref_per, _leaves_per in stats:
+            for bi, _rows_per, _nref_per, _leaves_per, risky in stats:
                 bdir = out / "batches" / f"{bi:05d}"
                 host = np.load(bdir / "host.npz")
                 raw = np.load(bdir / "leaves_raw.npz")
@@ -572,6 +585,7 @@ def write_v3_store(
                     host["pair_end_rows"], host["prune"],
                     l_cap=l_cap, w_cap=w_cap, nbt=nbt,
                     batch_size=batch_size, nout_pad=nout,
+                    force_demote=risky,
                 )
                 np.save(bdir / "leaf2_ps.npy", lb.plane_score)
                 np.save(bdir / "leaf2_pc.npy", lb.plane_cross)
@@ -591,12 +605,14 @@ def write_v3_store(
             leaf_meta = dict(leaf2_l=l_cap, leaf2_w=w_cap, leaf2_nout=nout)
             if verbose:
                 n_out_lig = sum(
-                    int(((r > w_cap) | (l > l_cap)).sum())
-                    for _, _, r, l in stats
+                    int(((r > w_cap) | (l > l_cap) | k).sum())
+                    for _, _, r, l, k in stats
                 )
+                n_risky = sum(int(k.sum()) for _, _, _, _, k in stats)
                 print(
                     f"leaf bake: caps L={l_cap} W={w_cap}, outliers "
-                    f"{n_out_lig} ligands (host DFS), NOUT_pad={nout}"
+                    f"{n_out_lig} ligands (host DFS, {n_risky} "
+                    f"sign-epsilon demotions), NOUT_pad={nout}"
                 )
 
     np.save(out / "names.npy", np.asarray(names))

@@ -144,6 +144,92 @@ def test_outlier_demotion_equals_dfs(small_case):
     np.testing.assert_allclose(merged, ref, rtol=RTOL, atol=ATOL)
 
 
+def test_near_zero_gate_flags(small_case):
+    """Ligands whose gate-relevant (cross, real, unpruned) pair scores sit
+    within SIGN_EPS of zero are flagged for host-DFS demotion (ADVICE r4:
+    cross-backend f32 rounding can flip a near-zero sign and change the
+    baked leaf set)."""
+    _model, batch, table, prune, final = small_case
+    ps, conf, ao, cc = lt._dfs_arrays(batch)
+    pair_end_rows = np.arange(table.shape[0], dtype=np.int64)
+    base = lt.near_zero_gate_flags(batch, final, pair_end_rows, prune)
+    assert not base.any()  # real tables don't sit at 1e-30
+
+    # inject a tiny value into one ligand's first UNPRUNED cross row
+    bounds = np.append(ps, table.shape[0]).astype(np.int64)
+
+    def first_real_cross(i):
+        lo = int(bounds[i]) + int(cc[ao[i]:ao[i + 1]].sum())
+        hi = int(bounds[i + 1])
+        for r in range(lo, hi):
+            if not prune[r]:
+                return r
+        return None
+
+    li, row = next(
+        (i, r) for i in range(len(conf))
+        if conf[i] > 0 and ao[i + 1] - ao[i] >= 2
+        and (r := first_real_cross(i)) is not None
+    )
+    n_self = int(cc[ao[li]:ao[li + 1]].sum())
+    poked = final.copy()
+    poked[row, 0] = 1e-33
+    flags = lt.near_zero_gate_flags(batch, poked, pair_end_rows, prune)
+    assert flags[li] and flags.sum() == 1
+
+    # the same value on a PRUNED row must not flag (sign-exact -1.0 forced)
+    poked2 = final.copy()
+    pr2 = prune.copy()
+    pr2[row] = True
+    poked2[row, 0] = 1e-33
+    flags2 = lt.near_zero_gate_flags(batch, poked2, pair_end_rows, pr2)
+    assert not flags2[li]
+
+    # a tiny SELF row (not gate-relevant) must not flag
+    poked3 = final.copy()
+    poked3[int(ps[li]), 0] = 1e-33
+    flags3 = lt.near_zero_gate_flags(batch, poked3, pair_end_rows, prune)
+    assert not flags3[li]
+
+
+def test_force_demote_equals_dfs(small_case):
+    """force_demote sends a ligand to the outlier host-DFS set regardless
+    of caps, and merged scores still equal the full DFS."""
+    import types
+
+    _model, batch, table, prune, final = small_case
+    ref = np.asarray(_dfs_scores(batch, final))
+    assign, offsets = lt.enumerate_leaves(batch, final)
+    ps, conf, ao, cc = lt._dfs_arrays(batch)
+    np_total = table.shape[0]
+    rnd8 = lambda n: max(8, ((int(n) + 7) // 8) * 8)  # noqa: E731
+    demote = np.zeros(len(conf), bool)
+    demote[[3, 17, 42]] = True
+    lb = lt.build_leaf_dense(
+        assign, offsets, ps, conf, ao, cc,
+        np.arange(np_total, dtype=np.int64), prune,
+        l_cap=rnd8(np.diff(offsets).max(initial=1)),
+        w_cap=rnd8(np.diff(np.append(ps, np_total)).max(initial=1)),
+        nbt=np_total, batch_size=len(conf), force_demote=demote,
+    )
+    assert set(np.asarray(lb.out_live)) >= {3, 17, 42}
+    rows = np.ascontiguousarray(table, np.float32)
+    host, out_rows = lt.leaf2_scores_host(rows, lb, conf)
+    tbl = np.asarray(out_rows, np.float32)[: lb.n_out_rows].copy()
+    tbl[lb.out_prune[: lb.n_out_rows]] = -1.0
+    duck = types.SimpleNamespace(
+        dfs_arrays=(
+            lb.out_pair_starts, lb.out_conformers,
+            lb.out_active_offsets, lb.out_cand_counts,
+        )
+    )
+    out_scores = _dfs_scores(duck, tbl)
+    merged = host.copy()
+    for k, li in enumerate(lb.out_live):
+        merged[int(li)] = out_scores[k]
+    np.testing.assert_allclose(merged, ref, rtol=RTOL, atol=ATOL)
+
+
 def test_gate_actually_closes(big_case):
     """The <5-match None gate must be exercised: some ligand reaches 5+
     matches (otherwise the gate never closes and this suite would not

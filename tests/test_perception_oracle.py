@@ -186,6 +186,40 @@ def test_edge_cases_predicates_match_reference(smiles):
     _assert_predicate_equality(mol, smiles)
 
 
+def test_fragment_library_predicates_match_reference():
+    """A 2,000-molecule deterministic sample of the 476k fragment space
+    (chem/fragments.py — built to exercise all 7 pharmacophore types,
+    reference ligand_utils.py:94-184): every atom, every predicate,
+    reference == ours. This is the same chemistry SCALE_REAL screens at
+    scale, so predicate drift here would corrupt that record silently."""
+    from pharmaconet_tpu.chem.fragments import enumerate_fragment_smiles
+
+    seen_true: set[str] = set()
+    for name, smiles in enumerate_fragment_smiles(2000, seed=40):
+        mol = parse_smiles(smiles).strip_hydrogens()
+        oracle = _oracle_atoms(mol)
+        for ref_name, our_fn in PREDICATES:
+            ref_fn = getattr(REF, ref_name)
+            for i in range(len(mol.atoms)):
+                got_ref = bool(ref_fn(oracle[i]))
+                assert got_ref == bool(our_fn(mol, i)), (
+                    f"{name} ({smiles}): atom {i} "
+                    f"(Z={mol.atoms[i].atomic_num}) {ref_name} disagrees"
+                )
+                if got_ref:
+                    seen_true.add(ref_name)
+    # the sample must actually exercise the predicate surface, not just
+    # agree on all-False. The space contains quaternary ammonium,
+    # tert-amine (piperidine/N-methyl linkers), carboxylate, sulfonate
+    # and halocarbon chemistry by construction; sulfonium, guanidine,
+    # sulfate-ester and phosphate are NOT in the substituent table —
+    # those stay covered by the golden + edge corpora above.
+    assert seen_true == {
+        "is_quartamine_N", "is_tertamine_N", "is_carboxylate_C",
+        "is_sulfonicacid_S", "is_halocarbon_X",
+    }, f"fragment sample fired {sorted(seen_true)}"
+
+
 def test_fuzz_corpus_predicates_match_reference():
     """Seeded random SDF molecules (the CLI-scale generator) — every atom,
     every predicate, reference == ours."""
