@@ -336,14 +336,22 @@ def bench_stored_pipeline(batch_size: int, iters: int):
         )
     store = TiledStore(tmp, screener.packed_model)
     sb = store.load(0)
-    leaves = v3 and getattr(sb, "leaf2_ps", None) is not None
+    leaves = v3 and (
+        getattr(sb, "leaf2_ps", None) is not None
+        or getattr(sb, "leaf_buckets", None) is not None
+    )
     if leaves:
         # baked-leaf contract: the device hands back ([B] scores,
         # [NOUT_pad, C] outlier rows); the host tail is load + a float
         # gather + the outlier DFS
         rows_shape = None
+        nb = (
+            sb.leaf_nb
+            if getattr(sb, "leaf_buckets", None) is not None
+            else len(sb.leaf_conf)
+        )
         stand_in = (
-            np.zeros(len(sb.leaf_conf), np.float32),
+            np.zeros(nb, np.float32),
             np.zeros((len(sb.leaf2_out_ends), sb.dt.shape[1]), np.float32),
         )
     elif v3:
@@ -543,40 +551,81 @@ def main():
             write_v3_store,
         )
 
+        layout = os.environ.get("BENCH_LEAF_LAYOUT", "buckets")
         tmp = tempfile.mkdtemp(prefix="bench_leaf_")
         write_v3_store(
             tmp, screener.packed_model, ligands,
             [f"l{i}" for i in range(batch_size)],
-            batch_size=batch_size, verbose=False,
+            batch_size=batch_size, verbose=False, leaf_layout=layout,
         )
         sb = TiledStore(tmp, screener.packed_model).load(0)
-        assert sb.leaf2_ps is not None
         depth, mn_cap, g_cap = sb.depth, sb.mn_cap, sb.g_cap
-        w_cap = sb.leaf2_pw.shape[1]
-        print(
-            f"[bench] v3-leaf: T={sb.dt.shape[0]} "
-            f"L={sb.leaf2_ps.shape[1]} W={w_cap} "
-            f"outliers={len(sb.leaf2_out['live'])} "
-            f"NOUT_pad={len(sb.leaf2_out_ends)}",
-            file=sys.stderr,
-        )
-        args = tuple(
-            jnp.asarray(np.asarray(a))
-            for a in (
-                sb.dt, sb.gid, sb.tab, sb.aux, sb.leaf2_ends,
-                sb.leaf2_ps, sb.leaf2_pc, sb.leaf2_pw, sb.leaf_conf,
-                sb.leaf2_out_ends,
-            )
-        )
+        if layout == "buckets":
+            from pharmaconet_tpu.scoring.leaf_tree import leaf2_scores_multi
 
-        def run_one(a):
-            rows = score_tiles_v3_rows(
-                *a[:4], depth=depth, mn_cap=mn_cap, g_cap=g_cap
+            assert sb.leaf_buckets is not None
+            nb = sb.leaf_nb
+            specs = [
+                (b[3].shape[0], b[1].shape[1], b[3].shape[1])
+                for b in sb.leaf_buckets
+            ]
+            print(
+                f"[bench] v3-leaf(buckets): T={sb.dt.shape[0]} "
+                f"buckets={specs} "
+                f"slots={sum(bk * wk for bk, _lk, wk in specs)} "
+                f"outliers={len(sb.leaf2_out['live'])} "
+                f"NOUT_pad={len(sb.leaf2_out_ends)}",
+                file=sys.stderr,
             )
-            scores, out_rows = leaf2_scores_device(
-                rows, a[4], a[5], a[6], a[7], a[8], a[9], w_cap=w_cap
+            n_buckets = len(sb.leaf_buckets)
+            args = tuple(
+                jnp.asarray(np.asarray(a))
+                for a in (sb.dt, sb.gid, sb.tab, sb.aux, sb.leaf2_out_ends)
+            ) + tuple(
+                jnp.asarray(np.asarray(a))
+                for b in sb.leaf_buckets
+                for a in b
             )
-            return scores.sum() + out_rows.sum()
+
+            def run_one(a):
+                rows = score_tiles_v3_rows(
+                    *a[:4], depth=depth, mn_cap=mn_cap, g_cap=g_cap
+                )
+                buckets = tuple(
+                    tuple(a[5 + 6 * k : 11 + 6 * k])
+                    for k in range(n_buckets)
+                )
+                scores, out_rows = leaf2_scores_multi(
+                    rows, a[4], buckets, nb=nb
+                )
+                return scores.sum() + out_rows.sum()
+        else:
+            assert sb.leaf2_ps is not None
+            w_cap = sb.leaf2_pw.shape[1]
+            print(
+                f"[bench] v3-leaf: T={sb.dt.shape[0]} "
+                f"L={sb.leaf2_ps.shape[1]} W={w_cap} "
+                f"outliers={len(sb.leaf2_out['live'])} "
+                f"NOUT_pad={len(sb.leaf2_out_ends)}",
+                file=sys.stderr,
+            )
+            args = tuple(
+                jnp.asarray(np.asarray(a))
+                for a in (
+                    sb.dt, sb.gid, sb.tab, sb.aux, sb.leaf2_ends,
+                    sb.leaf2_ps, sb.leaf2_pc, sb.leaf2_pw, sb.leaf_conf,
+                    sb.leaf2_out_ends,
+                )
+            )
+
+            def run_one(a):
+                rows = score_tiles_v3_rows(
+                    *a[:4], depth=depth, mn_cap=mn_cap, g_cap=g_cap
+                )
+                scores, out_rows = leaf2_scores_device(
+                    rows, a[4], a[5], a[6], a[7], a[8], a[9], w_cap=w_cap
+                )
+                return scores.sum() + out_rows.sum()
     elif engine == "v3":
         # block-major rows + deduplicated group tables
         # (scoring/screen_v3.py): ~3.6x smaller per-tile stream than the

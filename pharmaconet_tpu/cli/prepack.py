@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "to embed per SMILES (default 8)")
     parser.add_argument("--cpus", type=int, default=1,
                         help="worker processes for parsing")
+    parser.add_argument("--seed", type=int, default=2025,
+                        help="base conformer-embedding seed for --smiles; "
+                        "entry i embeds with seed+i, so chunked runs stay "
+                        "bit-identical to one big run when each chunk "
+                        "passes seed+chunk_start")
     parser.add_argument("--embed_backend", type=str, default="auto",
                         choices=("auto", "numpy", "jax"),
                         help="--smiles conformer embedding: 'jax' runs the "
@@ -100,6 +105,7 @@ def main(args) -> int:
         packed, names = build_library_from_smiles(
             args.smiles, num_conformers=args.num_conformers or 8,
             cpus=args.cpus, embed_backend=args.embed_backend,
+            seed=args.seed,
         )
         print(f"embedded + packed {len(packed)} SMILES from {args.smiles}")
     else:

@@ -255,7 +255,42 @@ class ShardedScreener(BatchScreener):
         key = (depth, mn_cap, g_cap, interpret, use_ends, w_cap)
         prog = self._v3_programs.get(key)
         if prog is None:
-            if w_cap:
+            if isinstance(w_cap, tuple):
+                # bucketed leaf layout: w_cap carries (nb, n_buckets);
+                # the flat operand order is dt,gid,tab,aux,oends then
+                # 6 arrays per bucket (leaf_tree.leaf2_scores_multi)
+                from ..scoring.leaf_tree import leaf2_scores_multi
+
+                nb, n_buckets = w_cap
+                n_ops = 5 + 6 * n_buckets
+
+                @jax.jit
+                def sharded_score(*ops):
+                    def per_shard(*ops):
+                        dt, gid, tab, aux, oends = ops[:5]
+                        rows = score_tiles_v3_rows(
+                            dt[0], gid[0], tab[0], aux[0],
+                            depth=depth, mn_cap=mn_cap, g_cap=g_cap,
+                            interpret=interpret,
+                        )
+                        buckets = tuple(
+                            tuple(a[0] for a in ops[5 + 6 * k : 11 + 6 * k])
+                            for k in range(n_buckets)
+                        )
+                        scores, out_rows = leaf2_scores_multi(
+                            rows, oends[0], buckets, nb=nb
+                        )
+                        return scores[None], out_rows[None]
+
+                    return jax.shard_map(
+                        per_shard,
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * n_ops,
+                        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        check_vma=False,
+                    )(*ops)
+
+            elif w_cap:
 
                 @jax.jit
                 def sharded_score(dt, gid, tab, aux,
@@ -335,22 +370,42 @@ class ShardedScreener(BatchScreener):
             depth = max(sb.depth for sb in sbs)
             mn_cap, g_cap = sbs[0].mn_cap, sbs[0].g_cap
             use_ends = all(sb.ends_padded is not None for sb in sbs)
-            use_leaves = all(
+            use_buckets = all(
+                getattr(sb, "leaf_buckets", None) is not None for sb in sbs)
+            use_leaves = use_buckets or all(
                 getattr(sb, "leaf2_ps", None) is not None for sb in sbs)
-            if use_leaves:
-                fields = ("dt", "gid", "tab", "aux", "leaf2_ends",
-                          "leaf2_ps", "leaf2_pc", "leaf2_pw", "leaf_conf",
-                          "leaf2_out_ends")
+            if use_buckets:
+                # store-wide bucket shapes guarantee uniform stacking
+                n_buckets = len(sbs[0].leaf_buckets)
+                stacked = [
+                    jnp.asarray(np.stack(
+                        [np.asarray(getattr(sb, f)) for sb in sbs]))
+                    for f in ("dt", "gid", "tab", "aux", "leaf2_out_ends")
+                ]
+                for k in range(n_buckets):
+                    for j in range(6):
+                        stacked.append(jnp.asarray(np.stack(
+                            [np.asarray(sb.leaf_buckets[k][j])
+                             for sb in sbs])))
+                program = self._v3_sharded_program(
+                    depth, mn_cap, g_cap, self.pallas_interpret, use_ends,
+                    w_cap=(sbs[0].leaf_nb, n_buckets))
             else:
-                fields = ("dt", "gid", "tab", "aux") + (
-                    ("ends_padded",) if use_ends else ())
-            stacked = [
-                jnp.asarray(np.stack([np.asarray(getattr(sb, f)) for sb in sbs]))
-                for f in fields
-            ]
-            program = self._v3_sharded_program(
-                depth, mn_cap, g_cap, self.pallas_interpret, use_ends,
-                w_cap=sbs[0].leaf2_pw.shape[1] if use_leaves else 0)
+                if use_leaves:
+                    fields = ("dt", "gid", "tab", "aux", "leaf2_ends",
+                              "leaf2_ps", "leaf2_pc", "leaf2_pw",
+                              "leaf_conf", "leaf2_out_ends")
+                else:
+                    fields = ("dt", "gid", "tab", "aux") + (
+                        ("ends_padded",) if use_ends else ())
+                stacked = [
+                    jnp.asarray(np.stack(
+                        [np.asarray(getattr(sb, f)) for sb in sbs]))
+                    for f in fields
+                ]
+                program = self._v3_sharded_program(
+                    depth, mn_cap, g_cap, self.pallas_interpret, use_ends,
+                    w_cap=sbs[0].leaf2_pw.shape[1] if use_leaves else 0)
             import dataclasses
 
             if use_leaves:
@@ -370,7 +425,10 @@ class ShardedScreener(BatchScreener):
                 sbs = [dataclasses.replace(sb, ends_padded=None) for sb in sbs]
             # mixed groups (some leaf-baked, some not) returned raw
             # tables, so no tail may take the leaf fast path
-            sbs = [dataclasses.replace(sb, leaf2_ps=None) for sb in sbs]
+            sbs = [
+                dataclasses.replace(sb, leaf2_ps=None, leaf_buckets=None)
+                for sb in sbs
+            ]
             return [
                 self.postprocess_stored(sb, tables[k])
                 for k, sb in enumerate(sbs)

@@ -1106,6 +1106,24 @@ class BatchScreener:
                 jnp.asarray(sb.dt), jnp.asarray(sb.gid),
                 jnp.asarray(sb.tab), jnp.asarray(sb.aux),
             )
+            if getattr(sb, "leaf_buckets", None) is not None:
+                # bucketed baked leaves (round-5 window-gather attack):
+                # per width class, one window take + two MXU matmuls at
+                # the class's (Lk, Wk), then a scatter back to batch order
+                from .leaf_tree import leaf2_scores_multi
+
+                rows = score_tiles_v3_rows(
+                    *args, depth=sb.depth, mn_cap=sb.mn_cap,
+                    g_cap=sb.g_cap, interpret=self.pallas_interpret,
+                )
+                buckets = tuple(
+                    tuple(jnp.asarray(np.asarray(a)) for a in b)
+                    for b in sb.leaf_buckets
+                )
+                return leaf2_scores_multi(
+                    rows, jnp.asarray(np.asarray(sb.leaf2_out_ends)),
+                    buckets, nb=sb.leaf_nb,
+                )
             if getattr(sb, "leaf2_ps", None) is not None:
                 # prepack-baked leaves: the assignment evaluation runs as
                 # two MXU matmuls behind the raw kernel; the host tail is
@@ -1154,7 +1172,10 @@ class BatchScreener:
         for the full pack-at-screen-time path). v3 batches with device-side
         compaction hand a ready [NPpad, c] pair table instead; leaf-baked
         batches hand the final [B] score vector — no DFS at all."""
-        if getattr(sb, "leaf2_ps", None) is not None:
+        if (
+            getattr(sb, "leaf2_ps", None) is not None
+            or getattr(sb, "leaf_buckets", None) is not None
+        ):
             dev_scores, out_rows = expanded_rows_dev
             live_scores = np.asarray(dev_scores, dtype=np.float64)
             scores = [0.0] * sb.batch_len

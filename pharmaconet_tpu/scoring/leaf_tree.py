@@ -464,6 +464,201 @@ def build_leaf_dense(
 
 
 # ==========================================================================
+# Bucketed window layout (prepack time) — round-5 gather attack
+# ==========================================================================
+# The single-cap window layout pays the ~5 ns/slot TPU row gather on
+# B x W_cap slots even though the median ligand references ~66 rows vs
+# the p97 cap of 384 (probe_leaf_phases: 3.34 of the 6.01 ms v3-leaf
+# chain is this one take). Bucketing ligands by their referenced-row
+# count into store-derived width classes (multiples of 64) shrinks the
+# gathered slot count to ~E[ceil(nref/64)*64] per ligand — the windows
+# and one-hot planes of narrow ligands stop paying for the wide tail.
+# Each bucket k holds Bk ligands (store-wide capacity) with caps
+# (Lk, Wk); evaluation is the same two-MXU-matmul program per bucket,
+# with a final scatter back to batch order. Outlier (host DFS) handling
+# is shared with the single layout.
+
+
+@dataclass
+class DenseLeafBucket:
+    """One width class of a bucketed leaf bake (arrays padded to Bk)."""
+
+    lig_idx: np.ndarray  # [Bk] i32 live-ligand index; pad = batch_size
+    conf: np.ndarray  # [Bk] i32 conformer counts (1 for pads)
+    plane_score: np.ndarray  # [Bk, Lk, Wk//8] u8
+    plane_cross: np.ndarray  # [Bk, Lk, Wk//8] u8
+    prune_w: np.ndarray  # [Bk, Wk] bool
+    ends2: np.ndarray  # [Bk*Wk] i32 into [NBT]+zero-sentinel kernel rows
+
+
+@dataclass
+class LeafBake:
+    """Bucketed bake of one batch: width-class buckets + the shared
+    outlier (host DFS) arrays — same semantics as DenseLeafBatch's."""
+
+    buckets: list[DenseLeafBucket]
+    out_live: np.ndarray
+    out_ends: np.ndarray
+    out_prune: np.ndarray
+    out_pair_starts: np.ndarray
+    out_conformers: np.ndarray
+    out_active_offsets: np.ndarray
+    out_cand_counts: np.ndarray
+    n_out_rows: int
+
+
+def choose_bucket_edges(
+    nref_baked: np.ndarray, granule: int = 64, max_buckets: int = 4
+) -> list[int]:
+    """Store-wide window width classes from the baked-ligand referenced-
+    row distribution: quantile edges rounded up to `granule`, deduplicated
+    ascending, last edge covering the maximum."""
+    sel = nref_baked[nref_baked > 0]
+    if len(sel) == 0:
+        return [granule]
+    qs = (0.5, 0.8, 0.95, 1.0)[-max_buckets:]
+    rnd = lambda v: int(((max(int(v), 1) + granule - 1) // granule) * granule)  # noqa: E731
+    edges = sorted({rnd(np.quantile(sel, q)) for q in qs})
+    if edges[-1] < rnd(sel.max()):
+        edges[-1] = rnd(sel.max())
+    return edges
+
+
+def build_leaf_buckets(
+    assign: np.ndarray,
+    offsets: np.ndarray,
+    pair_starts: np.ndarray,
+    conformers: np.ndarray,
+    active_offsets: np.ndarray,
+    cand_counts: np.ndarray,
+    pair_end_rows: np.ndarray,
+    prune: np.ndarray,
+    bucket_specs: list[tuple[int, int, int]],  # (Bk, Lk, Wk) store-wide
+    nbt: int,
+    batch_size: int,
+    nout_pad: int | None = None,
+    force_demote: np.ndarray | None = None,
+) -> LeafBake:
+    """Bake one batch's enumerated leaves into width-class buckets.
+
+    A ligand lands in the narrowest bucket whose (Lk, Wk) covers its
+    (leaves, referenced rows); force_demote or no fitting bucket sends it
+    to the outlier host-DFS set; zero-leaf ligands stay out of every
+    bucket (score 0 by construction). Raises if a bucket overflows its
+    store-wide Bk capacity (the writer sizes capacities from the same
+    stats, so this is a programming error, not data)."""
+    num = len(conformers)
+    np_total = len(pair_end_rows)
+    row_of = np.where(pair_end_rows >= 0, pair_end_rows, nbt).astype(np.int32)
+    bounds = np.append(pair_starts, np_total).astype(np.int64)
+
+    buckets = [
+        DenseLeafBucket(
+            lig_idx=np.full(bk, batch_size, np.int32),
+            conf=np.ones(bk, np.int32),
+            plane_score=np.zeros((bk, lk, wk), bool),
+            plane_cross=np.zeros((bk, lk, wk), bool),
+            prune_w=np.zeros((bk, wk), bool),
+            ends2=np.full(bk * wk, nbt, np.int32),
+        )
+        for bk, lk, wk in bucket_specs
+    ]
+    fill = [0] * len(bucket_specs)
+
+    out_live: list[int] = []
+    out_rows_list: list[np.ndarray] = []
+    out_prune_list: list[np.ndarray] = []
+    out_ps: list[int] = []
+    out_conf: list[int] = []
+    out_ao: list[int] = [0]
+    out_cc: list[np.ndarray] = []
+    out_at = 0
+
+    for li in range(num):
+        ps, pe = int(bounds[li]), int(bounds[li + 1])
+        rows_b = pe - ps
+        lo, hi = int(offsets[li]), int(offsets[li + 1])
+        leaves_b = hi - lo
+        a_lo, a_hi = int(active_offsets[li]), int(active_offsets[li + 1])
+
+        def demote() -> None:
+            out_live.append(li)
+            out_rows_list.append(row_of[ps:pe])
+            out_prune_list.append(prune[ps:pe])
+            out_ps.append(out_at)
+            out_conf.append(int(conformers[li]))
+            out_cc.append(cand_counts[a_lo:a_hi])
+            out_ao.append(out_ao[-1] + (a_hi - a_lo))
+
+        if force_demote is not None and force_demote[li]:
+            demote()
+            out_at += rows_b
+            continue
+        if leaves_b == 0:
+            continue
+        n = a_hi - a_lo
+        cc = cand_counts[a_lo:a_hi].astype(np.int64)
+        a = assign[lo:hi, :n].astype(np.int64)
+        lidx, rows_l, is_x = _leaf_coords(a, cc)
+        ref = np.unique(rows_l)
+        k = next(
+            (
+                j
+                for j, (_bk, lk, wk) in enumerate(bucket_specs)
+                if leaves_b <= lk and len(ref) <= wk
+            ),
+            None,
+        )
+        if k is None:
+            demote()
+            out_at += rows_b
+            continue
+        b = buckets[k]
+        at = fill[k]
+        if at >= bucket_specs[k][0]:
+            raise ValueError(
+                f"bucket {k} overflow: capacity {bucket_specs[k][0]}"
+            )
+        fill[k] = at + 1
+        wk = bucket_specs[k][2]
+        b.lig_idx[at] = li
+        b.conf[at] = max(int(conformers[li]), 1)
+        b.ends2[at * wk : at * wk + len(ref)] = row_of[ps + ref]
+        b.prune_w[at, : len(ref)] = prune[ps + ref]
+        slot = np.searchsorted(ref, rows_l)
+        b.plane_score[at, lidx, slot] = True
+        b.plane_cross[at, lidx[is_x], slot[is_x]] = True
+
+    for b in buckets:
+        b.plane_score = np.packbits(b.plane_score, axis=2)
+        b.plane_cross = np.packbits(b.plane_cross, axis=2)
+
+    n_out_rows = out_at
+    nout = nout_pad if nout_pad is not None else max(_round_up(out_at, 8), 8)
+    if out_at > nout:
+        raise ValueError(f"outlier rows {out_at} exceed nout_pad {nout}")
+    out_ends = np.full(nout, nbt, np.int32)
+    out_pr = np.zeros(nout, bool)
+    if out_rows_list:
+        out_ends[:out_at] = np.concatenate(out_rows_list)
+        out_pr[:out_at] = np.concatenate(out_prune_list)
+    return LeafBake(
+        buckets=buckets,
+        out_live=np.asarray(out_live, np.int32),
+        out_ends=out_ends,
+        out_prune=out_pr,
+        out_pair_starts=np.asarray(out_ps, np.int64),
+        out_conformers=np.asarray(out_conf, np.int32),
+        out_active_offsets=np.asarray(out_ao, np.int32),
+        out_cand_counts=(
+            np.concatenate(out_cc).astype(np.int32)
+            if out_cc else np.zeros(0, np.int32)
+        ),
+        n_out_rows=n_out_rows,
+    )
+
+
+# ==========================================================================
 # Device evaluation (screen time)
 # ==========================================================================
 @partial(jax.jit, static_argnames=("w_cap",))
@@ -534,3 +729,76 @@ def leaf2_scores_host(
     denom = np.maximum(conformers, 1).astype(np.float64)
     scores = np.where(conf_ok, best, 0.0).sum(axis=1) / denom
     return scores, rows_z[lb.out_ends]
+
+
+def _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf):
+    """[Bk] per-bucket leaf scores — the same two-MXU-matmul evaluation
+    as leaf2_scores_device, at the bucket's (Lk, Wk) shape."""
+    c = rows_z.shape[1]
+    bk, wk = prune_w.shape
+    tw = rows_z[ends2].reshape(bk, wk, c)
+    tw = jnp.where(prune_w[:, :, None], -1.0, tw)
+    a_s = jnp.unpackbits(plane_s, axis=2, count=wk).astype(rows_z.dtype)
+    a_c = jnp.unpackbits(plane_c, axis=2, count=wk).astype(jnp.bfloat16)
+    # see leaf2_scores_device: the S einsum MUST run at HIGHEST (TPU
+    # default truncates f32 operands to one bf16 pass — the round-4
+    # S-einsum precision bug); the 0/1 D count is exact at any precision
+    s = jnp.einsum(
+        "blw,bwc->blc", a_s, tw, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = jnp.einsum(
+        "blw,bwc->blc", a_c, (tw <= 0.0).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    leaf_val = jnp.where(d > 0.5, -jnp.inf, s)
+    best = jnp.maximum(leaf_val.max(axis=1), 0.0)  # [Bk, C]
+    conf_ok = jnp.arange(c)[None, :] < conf[:, None]
+    denom = jnp.maximum(conf, 1).astype(rows_z.dtype)
+    return jnp.where(conf_ok, best, 0.0).sum(axis=1) / denom
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def leaf2_scores_multi(
+    rows: jax.Array,  # [NBT, C] f32 raw kernel output
+    out_ends: jax.Array,  # [NOUT_pad] i32
+    buckets: tuple,  # K x (ends2, plane_s, plane_c, prune_w, conf, lig_idx)
+    nb: int,  # batch_size (scatter target length)
+) -> tuple[jax.Array, jax.Array]:
+    """([nb] scores, [NOUT_pad, C] outlier rows) over width-class buckets.
+
+    Per bucket: one window take + two MXU batch matmuls at the bucket's
+    (Lk, Wk); scores scatter back to batch order (pad lig_idx = nb drops).
+    Ligands in no bucket (zero leaves / outliers) stay 0."""
+    c = rows.shape[1]
+    rows_z = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)], axis=0)
+    scores = jnp.zeros(nb, rows.dtype)
+    for ends2, plane_s, plane_c, prune_w, conf, lig_idx in buckets:
+        sk = _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf)
+        scores = scores.at[lig_idx].set(sk, mode="drop")
+    return scores, rows_z[out_ends]
+
+
+def leaf2_scores_multi_host(
+    rows: np.ndarray, bake: LeafBake, nb: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy reference of leaf2_scores_multi (tests / no-JAX paths)."""
+    c = rows.shape[1]
+    rows_z = np.concatenate([rows, np.zeros((1, c), rows.dtype)])
+    scores = np.zeros(nb, np.float64)
+    for b in bake.buckets:
+        bk, wk = b.prune_w.shape
+        tw = rows_z[b.ends2].reshape(bk, wk, c).astype(np.float64)
+        tw[b.prune_w] = -1.0
+        a_s = np.unpackbits(b.plane_score, axis=2, count=wk)
+        a_c = np.unpackbits(b.plane_cross, axis=2, count=wk)
+        s = np.einsum("blw,bwc->blc", a_s.astype(np.float64), tw)
+        d = np.einsum("blw,bwc->blc", a_c.astype(np.float64), tw <= 0.0)
+        leaf_val = np.where(d > 0.5, -np.inf, s)
+        best = np.maximum(leaf_val.max(axis=1), 0.0)
+        conf_ok = np.arange(c)[None, :] < b.conf[:, None]
+        denom = np.maximum(b.conf, 1).astype(np.float64)
+        sk = np.where(conf_ok, best, 0.0).sum(axis=1) / denom
+        live = b.lig_idx < nb
+        scores[b.lig_idx[live]] = sk[live]
+    return scores, rows_z[bake.out_ends]

@@ -163,6 +163,13 @@ class StoredV3Batch:
     leaf2_out_ends: np.ndarray | None = None  # [NOUT_pad] i32
     leaf2_out: dict | None = None  # outlier host-DFS arrays (leaf2_out.npz)
     leaf_conf: np.ndarray | None = None  # [store batch_size] i32 conformers
+    # bucketed leaf layout (leaf_tree.build_leaf_buckets, the round-5
+    # window-gather attack): K width-class buckets, each a tuple
+    # (ends2 [Bk*Wk] i32, plane_s [Bk,Lk,Wk/8] u8, plane_c, prune_w
+    # [Bk,Wk] bool, conf [Bk] i32, lig_idx [Bk] i32). Mutually exclusive
+    # with the single-window leaf2_* fields above.
+    leaf_buckets: tuple | None = None
+    leaf_nb: int = 0  # scatter target length (store batch_size)
     # host.npz path backing the lazy DFS-tail fields (leaf-baked loads)
     host_path: str | None = None
 
@@ -197,8 +204,15 @@ def _page_in(batch) -> None:
     Touches one byte per 4 KiB page so the OS readahead pulls the file
     into the page cache on the calling (prefetch) thread instead of
     faulting on the main thread mid-dispatch."""
+    arrays: list = []
     for f in dataclasses.fields(batch):
         a = getattr(batch, f.name)
+        if isinstance(a, tuple):  # bucketed leaf arrays (tuple of tuples)
+            for b in a:
+                arrays.extend(b if isinstance(b, tuple) else (b,))
+        else:
+            arrays.append(a)
+    for a in arrays:
         if isinstance(a, np.memmap) and a.size:
             flat = a.reshape(-1).view(np.uint8)
             # .npy data is header-offset (not page-aligned), so the strided
@@ -361,6 +375,7 @@ def write_v3_store(
     verbose: bool = True,
     bake_leaves: bool = True,
     leaf_caps: tuple[int, int] | None = None,
+    leaf_layout: str = "buckets",
 ) -> dict:
     """Pack the library into a version-3 (block-major) tile store.
 
@@ -379,7 +394,13 @@ def write_v3_store(
     evaluation is two MXU matmuls and the host tail drops from the C++
     DFS (~25-34 ms/2048-batch/core) to reading [B] floats plus a DFS over
     the few heavy-tail outlier ligands. `leaf_caps` overrides the
-    automatic (leaves, window) cap selection."""
+    automatic (leaves, window) cap selection.
+
+    leaf_layout "buckets" (default) bakes width-class buckets
+    (leaf_tree.build_leaf_buckets): the screen-time window gather pays
+    ~E[ceil(nref/64)] slots per ligand instead of the p97 cap — the
+    dominant leaf-chain cost (PERF_NOTES round 4: 3.34 of 6.01 ms).
+    "single" keeps the one-cap dense layout (build_leaf_dense)."""
     from .batch_screen import (
         BatchScreener,
         build_batch,
@@ -574,23 +595,85 @@ def write_v3_store(
                 outlier = (nref_per > w_cap) | (leaves_per > l_cap) | risky
                 nout = max(nout, int(rows_per[outlier].sum()))
             nout = ((nout + 7) // 8) * 8
+
+            bucket_specs: list[tuple[int, int, int]] = []
+            if leaf_layout == "buckets":
+                # width classes from the baked nref distribution; per-class
+                # leaf cap = cummax of member maxima (monotone L keeps the
+                # builder's narrowest-W-fit assignment identical to the
+                # capacity counts below); capacity = per-batch max count
+                from .leaf_tree import choose_bucket_edges
+
+                def _baked(r, l, k):
+                    return (r <= w_cap) & (l <= l_cap) & ~k & (l > 0)
+
+                all_baked_ref = np.concatenate([
+                    r[_baked(r, l, k)] for _, _, r, l, k in stats
+                ])
+                edges = choose_bucket_edges(all_baked_ref)
+                counts = np.zeros(len(edges), np.int64)
+                lmaxs = np.zeros(len(edges), np.int64)
+                for _, _, r, l, k in stats:
+                    m = _baked(r, l, k)
+                    ki = np.searchsorted(edges, r[m])
+                    counts = np.maximum(
+                        counts, np.bincount(ki, minlength=len(edges))
+                    )
+                    if m.any():
+                        lm = np.zeros(len(edges), np.int64)
+                        np.maximum.at(lm, ki, l[m])
+                        lmaxs = np.maximum(lmaxs, lm)
+                lmaxs = np.maximum.accumulate(lmaxs)
+                rnd8 = lambda v: int(((max(int(v), 1) + 7) // 8) * 8)  # noqa: E731
+                bucket_specs = [
+                    (rnd8(counts[j]), rnd8(lmaxs[j]), int(edges[j]))
+                    for j in range(len(edges))
+                    if counts[j] > 0
+                ]
+
             for bi, _rows_per, _nref_per, _leaves_per, risky in stats:
                 bdir = out / "batches" / f"{bi:05d}"
                 host = np.load(bdir / "host.npz")
                 raw = np.load(bdir / "leaves_raw.npz")
-                lb = build_leaf_dense(
-                    raw["assign"], raw["offsets"],
-                    host["dfs_pair_starts"], host["dfs_conformers"],
-                    host["dfs_active_offsets"], host["dfs_cand_counts"],
-                    host["pair_end_rows"], host["prune"],
-                    l_cap=l_cap, w_cap=w_cap, nbt=nbt,
-                    batch_size=batch_size, nout_pad=nout,
-                    force_demote=risky,
-                )
-                np.save(bdir / "leaf2_ps.npy", lb.plane_score)
-                np.save(bdir / "leaf2_pc.npy", lb.plane_cross)
-                np.save(bdir / "leaf2_pw.npy", lb.prune_w)
-                np.save(bdir / "leaf2_ends.npy", lb.ends2)
+                if leaf_layout == "buckets":
+                    from .leaf_tree import build_leaf_buckets
+
+                    demote = (
+                        risky
+                        | (_nref_per > w_cap)
+                        | (_leaves_per > l_cap)
+                    )
+                    bake = build_leaf_buckets(
+                        raw["assign"], raw["offsets"],
+                        host["dfs_pair_starts"], host["dfs_conformers"],
+                        host["dfs_active_offsets"], host["dfs_cand_counts"],
+                        host["pair_end_rows"], host["prune"],
+                        bucket_specs=bucket_specs, nbt=nbt,
+                        batch_size=batch_size, nout_pad=nout,
+                        force_demote=demote,
+                    )
+                    for k, b in enumerate(bake.buckets):
+                        np.save(bdir / f"leafb{k}_ps.npy", b.plane_score)
+                        np.save(bdir / f"leafb{k}_pc.npy", b.plane_cross)
+                        np.save(bdir / f"leafb{k}_pw.npy", b.prune_w)
+                        np.save(bdir / f"leafb{k}_ends.npy", b.ends2)
+                        np.save(bdir / f"leafb{k}_conf.npy", b.conf)
+                        np.save(bdir / f"leafb{k}_idx.npy", b.lig_idx)
+                    lb = bake  # shared outlier arrays below
+                else:
+                    lb = build_leaf_dense(
+                        raw["assign"], raw["offsets"],
+                        host["dfs_pair_starts"], host["dfs_conformers"],
+                        host["dfs_active_offsets"], host["dfs_cand_counts"],
+                        host["pair_end_rows"], host["prune"],
+                        l_cap=l_cap, w_cap=w_cap, nbt=nbt,
+                        batch_size=batch_size, nout_pad=nout,
+                        force_demote=risky,
+                    )
+                    np.save(bdir / "leaf2_ps.npy", lb.plane_score)
+                    np.save(bdir / "leaf2_pc.npy", lb.plane_cross)
+                    np.save(bdir / "leaf2_pw.npy", lb.prune_w)
+                    np.save(bdir / "leaf2_ends.npy", lb.ends2)
                 np.save(bdir / "leaf2_out_ends.npy", lb.out_ends)
                 np.savez(
                     bdir / "leaf2_out.npz",
@@ -602,15 +685,28 @@ def write_v3_store(
                     n_rows=np.asarray(lb.n_out_rows),
                 )
                 (bdir / "leaves_raw.npz").unlink()
-            leaf_meta = dict(leaf2_l=l_cap, leaf2_w=w_cap, leaf2_nout=nout)
+            if leaf_layout == "buckets":
+                leaf_meta = dict(
+                    leaf2_buckets=[list(s) for s in bucket_specs],
+                    leaf2_nout=nout,
+                )
+            else:
+                leaf_meta = dict(
+                    leaf2_l=l_cap, leaf2_w=w_cap, leaf2_nout=nout
+                )
             if verbose:
                 n_out_lig = sum(
                     int(((r > w_cap) | (l > l_cap) | k).sum())
                     for _, _, r, l, k in stats
                 )
                 n_risky = sum(int(k.sum()) for _, _, _, _, k in stats)
+                desc = (
+                    f"buckets {bucket_specs}"
+                    if leaf_layout == "buckets"
+                    else f"caps L={l_cap} W={w_cap}"
+                )
                 print(
-                    f"leaf bake: caps L={l_cap} W={w_cap}, outliers "
+                    f"leaf bake: {desc}, outliers "
                     f"{n_out_lig} ligands (host DFS, {n_risky} "
                     f"sign-epsilon demotions), NOUT_pad={nout}"
                 )
@@ -791,6 +887,9 @@ class TiledStore:
             )
         from .screen_v3 import padded_ends
 
+        has_buckets = (
+            "leaf2_buckets" in m and (bdir / "leaf2_out.npz").exists()
+        )
         has_leaves = "leaf2_l" in m and (bdir / "leaf2_ps.npy").exists()
         # stores written since the ends.npy pass mmap the padded ends
         # instead of re-deriving them from the 8-byte-per-pair signed copy
@@ -805,11 +904,24 @@ class TiledStore:
             ends = None
         # the leaf path never touches the DFS-tail fields; defer their
         # host.npz reads to ensure_host_fields() (rare fallbacks only)
-        lazy = has_leaves and ends is not None
+        lazy = (has_leaves or has_buckets) and ends is not None
         conformers = host["dfs_conformers"]
-        if has_leaves:
+        if has_leaves or has_buckets:
             out_npz = np.load(bdir / "leaf2_out.npz")
             leaf2_out = {k: out_npz[k] for k in out_npz.files}
+        leaf_buckets = None
+        if has_buckets:
+            leaf_buckets = tuple(
+                (
+                    np.load(bdir / f"leafb{k}_ends.npy", mmap_mode=mm),
+                    np.load(bdir / f"leafb{k}_ps.npy", mmap_mode=mm),
+                    np.load(bdir / f"leafb{k}_pc.npy", mmap_mode=mm),
+                    np.load(bdir / f"leafb{k}_pw.npy", mmap_mode=mm),
+                    np.load(bdir / f"leafb{k}_conf.npy", mmap_mode=mm),
+                    np.load(bdir / f"leafb{k}_idx.npy", mmap_mode=mm),
+                )
+                for k in range(len(m["leaf2_buckets"]))
+            )
         return StoredV3Batch(
             dt=np.load(bdir / "dt.npy", mmap_mode=mm),
             gid=np.load(bdir / "gid.npy", mmap_mode=mm),
@@ -833,9 +945,11 @@ class TiledStore:
             ),
             leaf2_out_ends=(
                 np.load(bdir / "leaf2_out_ends.npy", mmap_mode=mm)
-                if has_leaves else None
+                if (has_leaves or has_buckets) else None
             ),
-            leaf2_out=leaf2_out if has_leaves else None,
+            leaf2_out=leaf2_out if (has_leaves or has_buckets) else None,
+            leaf_buckets=leaf_buckets,
+            leaf_nb=m["batch_size"] if has_buckets else 0,
             # conformer counts padded to the store batch size so every
             # batch shares one leaf-evaluation program shape
             leaf_conf=(

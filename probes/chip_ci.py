@@ -122,11 +122,11 @@ def c2():
     leaf, dfs, n_out = [], [], 0
     for bi in range(store.n_batches):
         sb = store.load(bi)
-        assert sb.leaf2_ps is not None, "store has no baked leaves"
+        assert sb.leaf_buckets is not None, "store has no baked leaves"
         n_out += len(sb.leaf2_out["live"])
         leaf.extend(scr.score_stored(sb))
         sb2 = store.load(bi)
-        sb2.leaf2_ps = sb2.leaf2_pc = sb2.leaf2_pw = None
+        sb2.leaf_buckets = None
         sb2.leaf2_ends = sb2.leaf2_out_ends = sb2.leaf2_out = None
         dfs.extend(scr.score_stored(sb2))
     leaf, dfs = np.asarray(leaf), np.asarray(dfs)
@@ -151,19 +151,25 @@ def c3():
         jnp.asarray(sb.aux), depth=sb.depth, mn_cap=sb.mn_cap,
         g_cap=sb.g_cap,
     ), np.float32)
-    conf = np.asarray(sb.leaf_conf)
-    duck = types.SimpleNamespace(
-        plane_score=np.asarray(sb.leaf2_ps),
-        plane_cross=np.asarray(sb.leaf2_pc),
-        prune_w=np.asarray(sb.leaf2_pw), ends2=np.asarray(sb.leaf2_ends),
+    bake = types.SimpleNamespace(
+        buckets=[
+            types.SimpleNamespace(
+                ends2=np.asarray(b[0]), plane_score=np.asarray(b[1]),
+                plane_cross=np.asarray(b[2]), prune_w=np.asarray(b[3]),
+                conf=np.asarray(b[4]), lig_idx=np.asarray(b[5]),
+            )
+            for b in sb.leaf_buckets
+        ],
         out_ends=np.asarray(sb.leaf2_out_ends),
     )
-    host, _ = lt.leaf2_scores_host(rows, duck, conf)
-    dev, _ = lt.leaf2_scores_device(
-        jnp.asarray(rows), jnp.asarray(duck.ends2),
-        jnp.asarray(duck.plane_score), jnp.asarray(duck.plane_cross),
-        jnp.asarray(duck.prune_w), jnp.asarray(conf),
-        jnp.asarray(duck.out_ends), w_cap=duck.prune_w.shape[1],
+    host, _ = lt.leaf2_scores_multi_host(rows, bake, sb.leaf_nb)
+    buckets = tuple(
+        tuple(jnp.asarray(np.asarray(a)) for a in b)
+        for b in sb.leaf_buckets
+    )
+    dev, _ = lt.leaf2_scores_multi(
+        jnp.asarray(rows), jnp.asarray(np.asarray(sb.leaf2_out_ends)),
+        buckets, nb=sb.leaf_nb,
     )
     dev = np.asarray(dev)
     denom = np.maximum(np.abs(host), 1e-3)

@@ -35,7 +35,18 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# the driver-side spot check re-embeds conformers; it must run on the SAME
+# jax platform as the prepack CLIs (which call honor_env_platforms), or a
+# JAX_PLATFORMS pin silently applies to one side only (the managed
+# sitecustomize force-registers the TPU platform) and cross-backend f32
+# refinement divergence fails every spot check
+from pharmaconet_tpu.utils.compile_cache import honor_env_platforms  # noqa: E402
+
+honor_env_platforms()
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 262_144
 KEEP = "--keep" in sys.argv
@@ -57,19 +68,38 @@ def flush_report():
         json.dumps(REPORT, indent=1))
 
 
-def run_timed(label: str, cmd: list[str], cpu_only: bool = False) -> float:
-    log(f"{label}: {' '.join(cmd)}")
+def run_timed(
+    label: str,
+    cmd: list[str],
+    cpu_only: bool = False,
+    timeout_s: float | None = None,
+    retries: int = 1,
+) -> float:
+    """Run a stage; on relay hang (timeout) kill + retry. A hung relay
+    RPC blocks forever (futex + ep_poll, observed round 4/5), so every
+    device-touching stage gets a generous wall-clock bound."""
     env = dict(os.environ)
     if cpu_only:
         # host-only stage: keep it off the relay so device flaps can't
         # stall it (the CLIs honor an explicit JAX_PLATFORMS)
         env["JAX_PLATFORMS"] = "cpu"
-    t0 = time.time()
-    rc = subprocess.run(cmd, cwd="/root/repo", env=env).returncode
-    dt = time.time() - t0
-    assert rc == 0, f"{label} failed rc={rc}"
-    log(f"{label}: {dt:.0f}s")
-    return dt
+    for attempt in range(retries + 1):
+        log(f"{label} (attempt {attempt + 1}): {' '.join(cmd)}")
+        t0 = time.time()
+        try:
+            rc = subprocess.run(
+                cmd, cwd="/root/repo", env=env, timeout=timeout_s
+            ).returncode
+        except subprocess.TimeoutExpired:
+            log(f"{label}: TIMEOUT after {timeout_s:.0f}s (relay hang?)")
+            REPORT.setdefault("stage_timeouts", []).append(label)
+            flush_report()
+            continue
+        dt = time.time() - t0
+        assert rc == 0, f"{label} failed rc={rc}"
+        log(f"{label}: {dt:.0f}s")
+        return dt
+    raise TimeoutError(f"{label}: all {retries + 1} attempts timed out")
 
 
 def main() -> int:
@@ -115,33 +145,112 @@ def main() -> int:
     flush_report()
 
     # -------- 2. SMILES -> packed library (TPU embed) ---------------------
+    # Restartable: if a previous (relay-flapped) run already produced the
+    # full packed library, reuse it rather than re-embedding N molecules.
     lib_npz = WORK / "lib.npz"
-    dt = run_timed("prepack --smiles (parse+perceive+embed+pack)", [
-        sys.executable, "prepack.py", "--smiles", str(smi_file),
-        "-o", str(lib_npz), "--embed_backend", "jax",
-    ])
-    REPORT["smiles_prepack"] = {
-        "seconds": round(dt, 1),
-        "lig_per_sec": round(N / dt, 1),
-        "embed_backend": "jax (TPU)",
-    }
+    reuse_lib = False
+    if lib_npz.exists():
+        try:
+            with np.load(lib_npz, allow_pickle=False) as z:
+                reuse_lib = len(z["names"]) >= N * 0.99
+        except Exception:
+            reuse_lib = False
+    if reuse_lib:
+        log(f"reusing existing packed library {lib_npz} ({N} ligands)")
+        REPORT["smiles_prepack"] = {"reused": True}
+    else:
+        # chunked + resumable: each 32k chunk prepacks independently with
+        # --seed 2025+chunk_start (entry i embeds with seed 2025+i either
+        # way, so chunked output is bit-identical to one big run and the
+        # spot check's per-index re-embeds still match). A relay flap
+        # costs one chunk, not the whole stage.
+        CHUNK = int(os.environ.get("DEMO_EMBED_CHUNK", "32768"))
+        t_all = time.time()
+        parts: list[Path] = []
+        for c0 in range(0, N, CHUNK):
+            chunk_entries = entries[c0 : c0 + CHUNK]
+            part = WORK / f"lib_part_{c0:07d}.npz"
+            parts.append(part)
+            if part.exists():
+                try:
+                    with np.load(part, allow_pickle=False) as z:
+                        if len(z["names"]) >= len(chunk_entries) * 0.99:
+                            log(f"chunk {c0}: reusing {part.name}")
+                            continue
+                except Exception:
+                    pass
+            csmi = WORK / f"lib_part_{c0:07d}.smi"
+            with open(csmi, "w") as f:
+                for name, smi in chunk_entries:
+                    f.write(f"{smi} {name}\n")
+            run_timed(f"prepack --smiles chunk {c0}", [
+                sys.executable, "prepack.py", "--smiles", str(csmi),
+                "-o", str(part), "--embed_backend", "jax",
+                "--seed", str(2025 + c0),
+            ], timeout_s=max(600.0, len(chunk_entries) * 0.6), retries=2)
+            REPORT["smiles_prepack_chunks_done"] = len(
+                [p for p in parts if p.exists()])
+            flush_report()
+        if len(parts) == 1:
+            parts[0].rename(lib_npz)
+        else:
+            from pharmaconet_tpu.scoring.library import (
+                load_library, save_library,
+            )
+
+            packed_all, names_all = [], []
+            for part in parts:
+                pk, nm = load_library(part)
+                packed_all.extend(pk)
+                names_all.extend(nm)
+            save_library(lib_npz, packed_all, names_all)
+            del packed_all
+        dt = time.time() - t_all
+        REPORT["smiles_prepack"] = {
+            "seconds": round(dt, 1),
+            "lig_per_sec": round(N / dt, 1),
+            "embed_backend": "jax (TPU)",
+            "chunk": CHUNK,
+        }
     flush_report()
 
     # -------- 3. packed library -> tile store ----------------------------
     tiles = WORK / "tiles"
-    dt = run_timed("prepack --tiles_out (v3 store + leaf bake)", [
-        sys.executable, "prepack.py", "--library", str(lib_npz),
-        "-p", str(model_path), "--tiles_out", str(tiles),
-        "--batch_size", str(BATCH),
-    ], cpu_only=True)
-    du = subprocess.run(["du", "-sb", str(tiles)], capture_output=True,
-                        text=True)
-    REPORT["tiles_prepack"] = {
-        "seconds": round(dt, 1),
-        "lig_per_sec": round(N / dt, 1),
-        "store_bytes": int(du.stdout.split()[0]),
-        "store_meta": json.loads((tiles / "meta.json").read_text()),
-    }
+    meta_f = tiles / "meta.json"
+    reuse_tiles = False
+    if meta_f.exists():
+        try:
+            from pharmaconet_tpu.scoring.tiled_store import model_fingerprint
+            from pharmaconet_tpu.scoring.batch_screen import PackedModel
+
+            m = json.loads(meta_f.read_text())
+            reuse_tiles = (
+                m.get("n_ligands", 0) >= N * 0.99
+                and m.get("fingerprint")
+                == model_fingerprint(PackedModel.from_model(model, None))
+            )
+        except Exception:
+            reuse_tiles = False
+    if reuse_tiles:
+        log(f"reusing existing tile store {tiles}")
+        REPORT["tiles_prepack"] = {
+            "reused": True,
+            "store_meta": json.loads(meta_f.read_text()),
+        }
+    else:
+        dt = run_timed("prepack --tiles_out (v3 store + leaf bake)", [
+            sys.executable, "prepack.py", "--library", str(lib_npz),
+            "-p", str(model_path), "--tiles_out", str(tiles),
+            "--batch_size", str(BATCH),
+        ], cpu_only=True)
+        du = subprocess.run(["du", "-sb", str(tiles)], capture_output=True,
+                            text=True)
+        REPORT["tiles_prepack"] = {
+            "seconds": round(dt, 1),
+            "lig_per_sec": round(N / dt, 1),
+            "store_bytes": int(du.stdout.split()[0]),
+            "store_meta": json.loads(meta_f.read_text()),
+        }
     flush_report()
 
     # -------- 4. screen with forced crash + resume -----------------------
@@ -175,7 +284,20 @@ def main() -> int:
 
     log("phase B: resume to completion")
     t0 = time.time()
-    rc = subprocess.run(cmd, cwd="/root/repo").returncode
+    # crash-resume doubles as relay-hang recovery: a timed-out attempt is
+    # killed and the rerun picks up from <out>.partial
+    phase_b_to = max(900.0, N * 0.1)
+    for attempt in range(3):
+        try:
+            rc = subprocess.run(cmd, cwd="/root/repo",
+                                timeout=phase_b_to).returncode
+            break
+        except subprocess.TimeoutExpired:
+            log(f"phase B attempt {attempt + 1}: TIMEOUT after "
+                f"{phase_b_to:.0f}s (relay hang?) — resuming from partial")
+            REPORT.setdefault("stage_timeouts", []).append("phase_b")
+            flush_report()
+            rc = -1
     phase_b = time.time() - t0
     assert rc == 0, f"resumed screen failed rc={rc}"
     n_rows = sum(1 for _ in open(out_csv)) - 1

@@ -35,10 +35,112 @@ from pharmaconet_tpu.scoring.batch_screen import BatchScreener
 from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
 
 
+def main_buckets(sb, iters: int) -> None:
+    """Phase split of the BUCKETED leaf chain (round-5 layout):
+    A kernel, B + per-bucket window gathers, C + per-bucket einsums,
+    D full leaf2_scores_multi."""
+    from pharmaconet_tpu.scoring.leaf_tree import (
+        _bucket_scores,
+        leaf2_scores_multi,
+    )
+
+    depth, mn_cap, g_cap = sb.depth, sb.mn_cap, sb.g_cap
+    c = sb.dt.shape[1]
+    nb = sb.leaf_nb
+    buckets = tuple(
+        tuple(jnp.asarray(np.asarray(a)) for a in b)
+        for b in sb.leaf_buckets
+    )
+    specs = [
+        (b[3].shape[0], b[1].shape[1], b[3].shape[1]) for b in buckets
+    ]
+    print(
+        f"[probe] buckets={specs} "
+        f"slots={sum(bk * wk for bk, _lk, wk in specs)} "
+        f"outliers={len(sb.leaf2_out['live'])} "
+        f"NOUT_pad={len(sb.leaf2_out_ends)}",
+        file=sys.stderr,
+    )
+    oends = jnp.asarray(np.asarray(sb.leaf2_out_ends))
+    args = tuple(
+        jnp.asarray(np.asarray(a))
+        for a in (sb.dt, sb.gid, sb.tab, sb.aux)
+    )
+
+    def rows_of(a):
+        return score_tiles_v3_rows(
+            *a, depth=depth, mn_cap=mn_cap, g_cap=g_cap
+        )
+
+    def phase_a(a):
+        return rows_of(a).sum()
+
+    def phase_b(a):
+        rows = rows_of(a)
+        rows_z = jnp.concatenate(
+            [rows, jnp.zeros((1, c), rows.dtype)], axis=0
+        )
+        tot = jnp.float32(0)
+        for ends2, _ps, _pc, pw, _conf, _idx in buckets:
+            bk, wk = pw.shape
+            tw = rows_z[ends2].reshape(bk, wk, c)
+            tot = tot + jnp.where(pw[:, :, None], -1.0, tw).sum()
+        return tot
+
+    def phase_c(a):
+        rows = rows_of(a)
+        rows_z = jnp.concatenate(
+            [rows, jnp.zeros((1, c), rows.dtype)], axis=0
+        )
+        tot = jnp.float32(0)
+        for ends2, ps, pc, pw, conf, _idx in buckets:
+            tot = tot + _bucket_scores(rows_z, ends2, ps, pc, pw, conf).sum()
+        return tot
+
+    def phase_d(a):
+        scores, out_rows = leaf2_scores_multi(rows_of(a), oends, buckets, nb=nb)
+        return scores.sum() + out_rows.sum()
+
+    def measure(phase_fn, label):
+        def make_unrolled(k):
+            @jax.jit
+            def f(a):
+                total = jnp.float32(0)
+                for i in range(k):
+                    perturbed = (a[0] + jnp.float32(i) * 1e-6,) + a[1:]
+                    total = total + phase_fn(perturbed)
+                return total
+            return f
+
+        f8, f32 = make_unrolled(8), make_unrolled(32)
+        _ = float(f8(args)); _ = float(f32(args))
+        ests = []
+        for _i in range(max(iters, 7)):
+            t0 = time.time(); _ = float(f8(args)); t8 = time.time() - t0
+            t0 = time.time(); _ = float(f32(args)); t32 = time.time() - t0
+            ests.append(max((t32 - t8) / 24, 1e-9))
+        ms = statistics.median(ests) * 1e3
+        print(f"[probe] {label}: {ms:.2f} ms/batch", file=sys.stderr)
+        return ms
+
+    a = measure(phase_a, "A pair kernel")
+    bb = measure(phase_b, "B + bucket window gathers")
+    cc = measure(phase_c, "C + bucket einsums")
+    d = measure(phase_d, "D full multi chain")
+    print(
+        f"[probe] deltas: gather {bb - a:.2f} ms, einsums {cc - bb:.2f} ms, "
+        f"epilogue+outliers {d - cc:.2f} ms",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 
+    import os
+
+    layout = os.environ.get("PROBE_LEAF_LAYOUT", "single")
     model = make_synthetic_model(seed=0)
     screener = BatchScreener(model, engine="xla")
     ligands = make_synthetic_ligands(batch_size, seed=1)
@@ -46,9 +148,11 @@ def main() -> None:
     write_v3_store(
         tmp, screener.packed_model, ligands,
         [f"l{i}" for i in range(batch_size)],
-        batch_size=batch_size, verbose=False,
+        batch_size=batch_size, verbose=False, leaf_layout=layout,
     )
     sb = TiledStore(tmp, screener.packed_model).load(0)
+    if layout == "buckets":
+        return main_buckets(sb, iters)
     assert sb.leaf2_ps is not None
     depth, mn_cap, g_cap = sb.depth, sb.mn_cap, sb.g_cap
     b, w_cap = sb.leaf2_pw.shape

@@ -288,7 +288,8 @@ def test_store_roundtrip_leaf_vs_dfs(tmp_path):
     packed = make_synthetic_ligands(150, seed=9)
     names = [f"l{i}" for i in range(len(packed))]
     meta = write_v3_store(
-        tmp_path, pm, packed, names, batch_size=64, verbose=False
+        tmp_path, pm, packed, names, batch_size=64, verbose=False,
+        leaf_layout="single",
     )
     assert "leaf2_l" in meta and "leaf2_w" in meta
     store = TiledStore(tmp_path, pm)
@@ -320,6 +321,7 @@ def test_store_roundtrip_with_forced_outliers(tmp_path):
     ts.write_v3_store(
         tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
         batch_size=96, verbose=False, leaf_caps=(24, 128),
+        leaf_layout="single",
     )
     store = ts.TiledStore(tmp_path, pm)
     scr = BatchScreener(model, engine="v3", pallas_interpret=True)
@@ -332,6 +334,130 @@ def test_store_roundtrip_with_forced_outliers(tmp_path):
     sb2.leaf2_ends = sb2.leaf2_out_ends = sb2.leaf2_out = None
     dfs = scr.score_stored(sb2)
     np.testing.assert_allclose(leaf, dfs, rtol=RTOL, atol=ATOL)
+
+
+def test_bucketed_store_roundtrip_vs_dfs(tmp_path):
+    """The DEFAULT store layout is now width-class buckets: baked-leaf
+    scores through the bucketed device path equal the host-DFS path on
+    the same store, last short batch and cluster-less ligands included."""
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+    model = make_synthetic_model(num_clusters=14, seed=4)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(150, seed=9)
+    meta = write_v3_store(
+        tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
+        batch_size=64, verbose=False,
+    )
+    assert "leaf2_buckets" in meta and "leaf2_l" not in meta
+    specs = meta["leaf2_buckets"]
+    assert all(w % 64 == 0 for _b, _l, w in specs)
+    store = TiledStore(tmp_path, pm)
+    scr = BatchScreener(model, engine="v3", pallas_interpret=True)
+    leaf, dfs = [], []
+    for bi in range(store.n_batches):
+        sb = store.load(bi)
+        assert sb.leaf_buckets is not None and sb.leaf_nb == 64
+        assert len(sb.leaf_buckets) == len(specs)
+        leaf.extend(scr.score_stored(sb))
+        sb2 = store.load(bi)
+        sb2.leaf_buckets = None
+        sb2.leaf2_ends = sb2.leaf2_out_ends = sb2.leaf2_out = None
+        dfs.extend(scr.score_stored(sb2))
+    np.testing.assert_allclose(leaf, dfs, rtol=RTOL, atol=ATOL)
+
+
+def test_bucketed_matches_single_layout(tmp_path):
+    """Bucketed and single-cap layouts of the SAME library score
+    identically (they evaluate the same baked leaves)."""
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+    model = make_synthetic_model(num_clusters=20, seed=5)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(96, seed=21)
+    scr = BatchScreener(model, engine="v3", pallas_interpret=True)
+    scores = {}
+    for layout in ("buckets", "single"):
+        d = tmp_path / layout
+        write_v3_store(
+            d, pm, packed, [f"l{i}" for i in range(len(packed))],
+            batch_size=96, verbose=False, leaf_layout=layout,
+        )
+        sb = TiledStore(d, pm).load(0)
+        scores[layout] = np.asarray(scr.score_stored(sb))
+    np.testing.assert_allclose(
+        scores["buckets"], scores["single"], rtol=1e-6, atol=1e-7
+    )
+
+
+def test_bucketed_forced_outliers(tmp_path):
+    """Tight demotion caps on a bucketed store still route heavy ligands
+    through the host-DFS outlier set with exact scores."""
+    from pharmaconet_tpu.scoring import tiled_store as ts
+
+    model = make_synthetic_model(num_clusters=20, seed=5)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(96, seed=21)
+    ts.write_v3_store(
+        tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
+        batch_size=96, verbose=False, leaf_caps=(24, 128),
+    )
+    store = ts.TiledStore(tmp_path, pm)
+    scr = BatchScreener(model, engine="v3", pallas_interpret=True)
+    sb = store.load(0)
+    assert sb.leaf_buckets is not None
+    assert len(sb.leaf2_out["live"]) > 0
+    leaf = scr.score_stored(sb)
+    sb2 = store.load(0)
+    sb2.leaf_buckets = None
+    sb2.leaf2_ends = sb2.leaf2_out_ends = sb2.leaf2_out = None
+    dfs = scr.score_stored(sb2)
+    np.testing.assert_allclose(leaf, dfs, rtol=RTOL, atol=ATOL)
+
+
+def test_multi_host_mirror_matches_device(tmp_path):
+    """leaf2_scores_multi_host (numpy) == leaf2_scores_multi (device) on
+    a real bucketed store batch — the chip-CI einsum-precision contract."""
+    import types
+
+    from pharmaconet_tpu.ops.screen_pallas import score_tiles_v3_rows
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+    model = make_synthetic_model(num_clusters=14, seed=4)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(80, seed=31)
+    write_v3_store(
+        tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
+        batch_size=80, verbose=False,
+    )
+    sb = TiledStore(tmp_path, pm).load(0)
+    rows = np.asarray(score_tiles_v3_rows(
+        jnp.asarray(sb.dt), jnp.asarray(sb.gid), jnp.asarray(sb.tab),
+        jnp.asarray(sb.aux), depth=sb.depth, mn_cap=sb.mn_cap,
+        g_cap=sb.g_cap, interpret=True,
+    ), np.float32)
+    bake = types.SimpleNamespace(
+        buckets=[
+            types.SimpleNamespace(
+                ends2=np.asarray(b[0]), plane_score=np.asarray(b[1]),
+                plane_cross=np.asarray(b[2]), prune_w=np.asarray(b[3]),
+                conf=np.asarray(b[4]), lig_idx=np.asarray(b[5]),
+            )
+            for b in sb.leaf_buckets
+        ],
+        out_ends=np.asarray(sb.leaf2_out_ends),
+    )
+    host, out_h = lt.leaf2_scores_multi_host(rows, bake, sb.leaf_nb)
+    buckets = tuple(
+        tuple(jnp.asarray(np.asarray(a)) for a in b)
+        for b in sb.leaf_buckets
+    )
+    dev, out_d = lt.leaf2_scores_multi(
+        jnp.asarray(rows), jnp.asarray(np.asarray(sb.leaf2_out_ends)),
+        buckets, nb=sb.leaf_nb,
+    )
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=2e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_h))
 
 
 def test_store_without_leaves_still_works(tmp_path):
