@@ -582,13 +582,19 @@ def write_v3_store(
             if leaf_caps is not None:
                 l_cap, w_cap = rnd(leaf_caps[0], 8), rnd(leaf_caps[1], 128)
             else:
-                l_cap = min(rnd(np.percentile(all_leaves, 97), 32), 256)
-                w_cap = min(rnd(np.percentile(all_ref, 97), 128), 512)
+                # demotion caps at ~p97 of the store's own distributions.
+                # Hard ceilings exist only to bound pathological stores:
+                # real fragment chemistry runs p97(leaves) ~ 600+ (the old
+                # 256 ceiling demoted HALF the library to the host DFS),
+                # and with width-class buckets only the heavy classes pay
+                # for large caps, so the ceilings sit at 1024/768.
+                l_cap = min(rnd(np.percentile(all_leaves, 97), 32), 1024)
+                w_cap = min(rnd(np.percentile(all_ref, 97), 64), 768)
                 # covering the true maxima costs nothing extra when close
-                if all_leaves.max() <= 256:
+                if all_leaves.max() <= 1024:
                     l_cap = max(l_cap, rnd(all_leaves.max(), 32))
-                if all_ref.max() <= 512:
-                    w_cap = max(w_cap, rnd(all_ref.max(), 128))
+                if all_ref.max() <= 768:
+                    w_cap = max(w_cap, rnd(all_ref.max(), 64))
             nbt = t_max * TILE
             nout = 8
             for bi, rows_per, nref_per, leaves_per, risky in stats:
