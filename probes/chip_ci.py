@@ -52,6 +52,12 @@ import jax.numpy as jnp
 import numpy as np
 
 FAST = "--fast" in sys.argv
+# CPU dry-run mode (CHIP_CI_INTERPRET=1): exercises every check's
+# mechanics with interpreted Pallas so API breaks surface before relay
+# time is spent; proves nothing about TPU numerics
+import os as _os
+
+INTERPRET = bool(_os.environ.get("CHIP_CI_INTERPRET"))
 RESULTS: dict[str, dict] = {}
 DEV = jax.devices()[0]
 ON_TPU = DEV.device_kind.startswith("TPU")
@@ -96,7 +102,8 @@ def c1():
     entries = enumerate_fragment_smiles(64, seed=11)
     ligs = list(iter_embedded(entries, seed=2025, backend="jax"))
     assert len(ligs) >= 56, f"embed yielded only {len(ligs)}/64"
-    scr = BatchScreener(MODEL)  # auto engine: pallas on TPU
+    # auto engine: pallas on TPU; xla on the CPU dry run
+    scr = BatchScreener(MODEL, engine="xla" if INTERPRET else None)
     got = scr.score_ligands([l for _, l in ligs])
     worst = 0.0
     for (name, lig), g in zip(ligs, got):
@@ -118,7 +125,7 @@ def c2():
                    [f"l{i}" for i in range(len(packed))],
                    batch_size=128, verbose=False)
     store = TiledStore(TMP / "tiles", pm)
-    scr = BatchScreener(MODEL, engine="v3")
+    scr = BatchScreener(MODEL, engine="v3", pallas_interpret=INTERPRET)
     leaf, dfs, n_out = [], [], 0
     for bi in range(store.n_batches):
         sb = store.load(bi)
@@ -149,7 +156,7 @@ def c3():
     rows = np.asarray(score_tiles_v3_rows(
         jnp.asarray(sb.dt), jnp.asarray(sb.gid), jnp.asarray(sb.tab),
         jnp.asarray(sb.aux), depth=sb.depth, mn_cap=sb.mn_cap,
-        g_cap=sb.g_cap,
+        g_cap=sb.g_cap, interpret=INTERPRET,
     ), np.float32)
     bake = types.SimpleNamespace(
         buckets=[
@@ -190,8 +197,8 @@ def c4():
             continue
         solo = dict(iter_embedded([(name, smi)], seed=77 + k,
                                   backend="jax"))
-        a = batched[name].graph.node_positions
-        b = solo[name].graph.node_positions
+        a = batched[name].graph.atom_positions
+        b = solo[name].graph.atom_positions
         assert np.array_equal(np.asarray(a), np.asarray(b)), (
             f"{name}: solo vs batched embed differ (order-dependent "
             "reduction on device)")
