@@ -1,16 +1,20 @@
-"""Shape-sensitivity sweep of the stored screening path (VERDICT #7).
+"""Shape-sensitivity sweep of the stored screening path (VERDICT r4 #2).
 
-All round-3 perf headlines rode ONE synthetic model shape (20 clusters /
-~40 nodes). This probe measures the stored leaf path across model sizes
-and conformer (t-scale) settings, on the real chip:
+All perf headlines previously rode ONE synthetic model shape (20
+clusters / ~40 nodes). This probe measures the stored leaf path across
+model sizes and conformer (t-scale) settings, on the real chip:
 
   model clusters in {4, 10, 20, 40}  x  conformers in {4, 8}
 
 For each config it reports
-  - store stats (tiles T, window cap W, leaf cap L, outlier ligands)
+  - store stats (tiles T, bucket specs or single caps, gathered window
+    slots, outlier ligands)
   - the device leaf-chain marginal (ms/2048-batch and lig/s/chip), via
     the paired-unroll estimator (PERF_NOTES "measuring through the relay")
   - the host tail (load + dispatch prep + outlier DFS) ms/batch
+
+PROBE_LEAF_LAYOUT=single sweeps the one-cap layout instead (the round-4
+baseline for comparison).
 
 Usage: python probes/probe_shape_sweep.py [batch_size] [iters]
 Writes nothing; paste the table into PERF_NOTES.
@@ -18,6 +22,7 @@ Writes nothing; paste the table into PERF_NOTES.
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import tempfile
@@ -32,33 +37,52 @@ import jax.numpy as jnp
 
 from bench import make_synthetic_ligands, make_synthetic_model
 from pharmaconet_tpu.scoring.batch_screen import BatchScreener
-from pharmaconet_tpu.scoring.leaf_tree import leaf2_scores_device
+from pharmaconet_tpu.scoring.leaf_tree import (
+    leaf2_scores_device,
+    leaf2_scores_multi,
+)
 from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+LAYOUT = os.environ.get("PROBE_LEAF_LAYOUT", "buckets")
 
 
 def measure_chain(sb, iters: int) -> float:
     from pharmaconet_tpu.ops.screen_pallas import score_tiles_v3_rows
 
     depth, mn_cap, g_cap = sb.depth, sb.mn_cap, sb.g_cap
-    b, w_cap = sb.leaf2_pw.shape
     dt, gid, tab, aux = (
         jnp.asarray(np.asarray(a)) for a in (sb.dt, sb.gid, sb.tab, sb.aux)
     )
-    ends2 = jnp.asarray(np.asarray(sb.leaf2_ends))
-    ps = jnp.asarray(np.asarray(sb.leaf2_ps))
-    pc = jnp.asarray(np.asarray(sb.leaf2_pc))
-    pw = jnp.asarray(np.asarray(sb.leaf2_pw))
-    conf = jnp.asarray(np.asarray(sb.leaf_conf))
     oends = jnp.asarray(np.asarray(sb.leaf2_out_ends))
+    if sb.leaf_buckets is not None:
+        buckets = tuple(
+            tuple(jnp.asarray(np.asarray(a)) for a in b)
+            for b in sb.leaf_buckets
+        )
+        nb = sb.leaf_nb
 
-    def chain(args):
-        rows = score_tiles_v3_rows(
-            *args, depth=depth, mn_cap=mn_cap, g_cap=g_cap
-        )
-        scores, out_rows = leaf2_scores_device(
-            rows, ends2, ps, pc, pw, conf, oends, w_cap=w_cap
-        )
-        return scores.sum() + out_rows.sum()
+        def chain(args):
+            rows = score_tiles_v3_rows(
+                *args, depth=depth, mn_cap=mn_cap, g_cap=g_cap
+            )
+            scores, out_rows = leaf2_scores_multi(rows, oends, buckets, nb=nb)
+            return scores.sum() + out_rows.sum()
+    else:
+        b, w_cap = sb.leaf2_pw.shape
+        ends2 = jnp.asarray(np.asarray(sb.leaf2_ends))
+        ps = jnp.asarray(np.asarray(sb.leaf2_ps))
+        pc = jnp.asarray(np.asarray(sb.leaf2_pc))
+        pw = jnp.asarray(np.asarray(sb.leaf2_pw))
+        conf = jnp.asarray(np.asarray(sb.leaf_conf))
+
+        def chain(args):
+            rows = score_tiles_v3_rows(
+                *args, depth=depth, mn_cap=mn_cap, g_cap=g_cap
+            )
+            scores, out_rows = leaf2_scores_device(
+                rows, ends2, ps, pc, pw, conf, oends, w_cap=w_cap
+            )
+            return scores.sum() + out_rows.sum()
 
     def make(k):
         @jax.jit
@@ -81,8 +105,9 @@ def measure_chain(sb, iters: int) -> float:
 
 
 def measure_host_tail(store, screener, sb, iters: int) -> float:
+    nb = sb.leaf_nb if sb.leaf_buckets is not None else len(sb.leaf_conf)
     stand = (
-        np.zeros(len(sb.leaf_conf), np.float32),
+        np.zeros(nb, np.float32),
         np.zeros((len(sb.leaf2_out_ends), sb.dt.shape[1]), np.float32),
     )
     screener.postprocess_stored(sb, (stand[0], stand[1].copy()))
@@ -91,7 +116,7 @@ def measure_host_tail(store, screener, sb, iters: int) -> float:
         t0 = time.perf_counter()
         sb2 = store.load(0)
         scores = screener.postprocess_stored(sb2, (stand[0], stand[1].copy()))
-        assert len(scores) == sb2.leaf2_pw.shape[0]
+        assert len(scores) == sb2.batch_len
         times.append(time.perf_counter() - t0)
     return statistics.median(times) * 1e3
 
@@ -100,9 +125,10 @@ def main() -> None:
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
+    print(f"layout={LAYOUT} batch={batch_size}")
     print(
-        "| clusters | conf | T | W | L | outliers | device ms/b | "
-        "device lig/s | host ms/b |"
+        "| clusters | conf | T | layout (Bk,Lk,Wk) | slots | outliers | "
+        "device ms/b | device lig/s | host ms/b |"
     )
     print("|---|---|---|---|---|---|---|---|---|")
     for nc in (4, 10, 20, 40):
@@ -116,21 +142,34 @@ def main() -> None:
             write_v3_store(
                 tmp, screener.packed_model, ligands,
                 [f"l{i}" for i in range(batch_size)],
-                batch_size=batch_size, verbose=False,
+                batch_size=batch_size, verbose=False, leaf_layout=LAYOUT,
             )
             store = TiledStore(tmp, screener.packed_model)
             sb = store.load(0)
-            if getattr(sb, "leaf2_ps", None) is None:
-                print(f"| {nc} | {conf} | - | - | - | - | no leaves | - | - |")
+            baked = (
+                sb.leaf_buckets is not None
+                or getattr(sb, "leaf2_ps", None) is not None
+            )
+            if not baked:
+                print(f"| {nc} | {conf} | - | no leaves | - | - | - | - | - |")
                 continue
             t_tiles = sb.dt.shape[0]
-            b, w_cap = sb.leaf2_pw.shape
-            l_cap = sb.leaf2_ps.shape[1]
+            if sb.leaf_buckets is not None:
+                specs = [
+                    (b[3].shape[0], b[1].shape[1], b[3].shape[1])
+                    for b in sb.leaf_buckets
+                ]
+                slots = sum(bk * wk for bk, _lk, wk in specs)
+                desc = " ".join(f"{bk}x{lk}x{wk}" for bk, lk, wk in specs)
+            else:
+                b, w_cap = sb.leaf2_pw.shape
+                slots = b * w_cap
+                desc = f"single {b}x{sb.leaf2_ps.shape[1]}x{w_cap}"
             n_out = len(sb.leaf2_out["live"])
             dev_ms = measure_chain(sb, iters)
             host_ms = measure_host_tail(store, screener, sb, iters)
             print(
-                f"| {nc} | {conf} | {t_tiles} | {w_cap} | {l_cap} | "
+                f"| {nc} | {conf} | {t_tiles} | {desc} | {slots} | "
                 f"{n_out} | {dev_ms:.2f} | {batch_size/dev_ms*1e3:,.0f} | "
                 f"{host_ms:.2f} |",
                 flush=True,
