@@ -731,15 +731,36 @@ def leaf2_scores_host(
     return scores, rows_z[lb.out_ends]
 
 
-def _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf):
+def _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf,
+                   split_s: bool = False):
     """[Bk] per-bucket leaf scores — the same two-MXU-matmul evaluation
-    as leaf2_scores_device, at the bucket's (Lk, Wk) shape."""
+    as leaf2_scores_device, at the bucket's (Lk, Wk) shape.
+
+    split_s: evaluate S as two DEFAULT-precision bf16 matmuls against the
+    hi/lo bf16 split of the window values instead of one HIGHEST f32
+    matmul. The plane operand is exactly 0/1 (exact in bf16), so only the
+    VALUE operand needs splitting — 2 MXU passes vs HIGHEST's 3+ (XLA
+    splits BOTH operands). Residual error <= sum|t_i| * 2^-17, well inside
+    the repo score tolerance (rtol 2e-5) but NOT bit-comparable to the f64
+    mirror at 1e-5 — hence opt-in, pending the chip A/B."""
     c = rows_z.shape[1]
     bk, wk = prune_w.shape
     tw = rows_z[ends2].reshape(bk, wk, c)
     tw = jnp.where(prune_w[:, :, None], -1.0, tw)
-    a_s = jnp.unpackbits(plane_s, axis=2, count=wk).astype(rows_z.dtype)
     a_c = jnp.unpackbits(plane_c, axis=2, count=wk).astype(jnp.bfloat16)
+    if split_s:
+        a_s16 = jnp.unpackbits(plane_s, axis=2, count=wk).astype(jnp.bfloat16)
+        tw_hi = tw.astype(jnp.bfloat16)
+        tw_lo = (tw - tw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = jnp.einsum(
+            "blw,bwc->blc", a_s16, tw_hi,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "blw,bwc->blc", a_s16, tw_lo,
+            preferred_element_type=jnp.float32,
+        )
+        return _bucket_epilogue(s, a_c, tw, conf, rows_z.dtype)
+    a_s = jnp.unpackbits(plane_s, axis=2, count=wk).astype(rows_z.dtype)
     # see leaf2_scores_device: the S einsum MUST run at HIGHEST (TPU
     # default truncates f32 operands to one bf16 pass — the round-4
     # S-einsum precision bug); the 0/1 D count is exact at any precision
@@ -747,6 +768,11 @@ def _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf):
         "blw,bwc->blc", a_s, tw, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return _bucket_epilogue(s, a_c, tw, conf, rows_z.dtype)
+
+
+def _bucket_epilogue(s, a_c, tw, conf, dtype):
+    c = tw.shape[2]
     d = jnp.einsum(
         "blw,bwc->blc", a_c, (tw <= 0.0).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
@@ -754,16 +780,17 @@ def _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf):
     leaf_val = jnp.where(d > 0.5, -jnp.inf, s)
     best = jnp.maximum(leaf_val.max(axis=1), 0.0)  # [Bk, C]
     conf_ok = jnp.arange(c)[None, :] < conf[:, None]
-    denom = jnp.maximum(conf, 1).astype(rows_z.dtype)
+    denom = jnp.maximum(conf, 1).astype(dtype)
     return jnp.where(conf_ok, best, 0.0).sum(axis=1) / denom
 
 
-@partial(jax.jit, static_argnames=("nb",))
+@partial(jax.jit, static_argnames=("nb", "split_s"))
 def leaf2_scores_multi(
     rows: jax.Array,  # [NBT, C] f32 raw kernel output
     out_ends: jax.Array,  # [NOUT_pad] i32
     buckets: tuple,  # K x (ends2, plane_s, plane_c, prune_w, conf, lig_idx)
     nb: int,  # batch_size (scatter target length)
+    split_s: bool = False,  # see _bucket_scores
 ) -> tuple[jax.Array, jax.Array]:
     """([nb] scores, [NOUT_pad, C] outlier rows) over width-class buckets.
 
@@ -774,7 +801,8 @@ def leaf2_scores_multi(
     rows_z = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)], axis=0)
     scores = jnp.zeros(nb, rows.dtype)
     for ends2, plane_s, plane_c, prune_w, conf, lig_idx in buckets:
-        sk = _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf)
+        sk = _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf,
+                            split_s=split_s)
         scores = scores.at[lig_idx].set(sk, mode="drop")
     return scores, rows_z[out_ends]
 

@@ -123,15 +123,31 @@ def main_buckets(sb, iters: int) -> None:
         print(f"[probe] {label}: {ms:.2f} ms/batch", file=sys.stderr)
         return ms
 
+    def phase_e(a):
+        scores, out_rows = leaf2_scores_multi(
+            rows_of(a), oends, buckets, nb=nb, split_s=True
+        )
+        return scores.sum() + out_rows.sum()
+
     a = measure(phase_a, "A pair kernel")
     bb = measure(phase_b, "B + bucket window gathers")
     cc = measure(phase_c, "C + bucket einsums")
     d = measure(phase_d, "D full multi chain")
+    e = measure(phase_e, "E full chain, split-S einsum (2x bf16 passes)")
     print(
         f"[probe] deltas: gather {bb - a:.2f} ms, einsums {cc - bb:.2f} ms, "
-        f"epilogue+outliers {d - cc:.2f} ms",
+        f"epilogue+outliers {d - cc:.2f} ms; split-S saves {d - e:.2f} ms",
         file=sys.stderr,
     )
+    sd = np.asarray(leaf2_scores_multi(
+        score_tiles_v3_rows(*args, depth=depth, mn_cap=mn_cap, g_cap=g_cap),
+        oends, buckets, nb=nb)[0])
+    se = np.asarray(leaf2_scores_multi(
+        score_tiles_v3_rows(*args, depth=depth, mn_cap=mn_cap, g_cap=g_cap),
+        oends, buckets, nb=nb, split_s=True)[0])
+    rel = float((np.abs(se - sd) / np.maximum(np.abs(sd), 1e-3)).max())
+    print(f"[probe] split-S max rel deviation vs HIGHEST: {rel:.2e}",
+          file=sys.stderr)
 
 
 def main() -> None:

@@ -460,6 +460,40 @@ def test_multi_host_mirror_matches_device(tmp_path):
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_h))
 
 
+def test_split_s_einsum_within_score_tolerance(tmp_path):
+    """The opt-in split-S evaluation (2 default-precision bf16 passes on
+    the hi/lo value split instead of one HIGHEST f32 matmul) must stay
+    inside the repo score tolerance vs the HIGHEST path."""
+    from pharmaconet_tpu.ops.screen_pallas import score_tiles_v3_rows
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+    model = make_synthetic_model(num_clusters=14, seed=4)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(80, seed=31)
+    write_v3_store(
+        tmp_path, pm, packed, [f"l{i}" for i in range(len(packed))],
+        batch_size=80, verbose=False,
+    )
+    sb = TiledStore(tmp_path, pm).load(0)
+    rows = score_tiles_v3_rows(
+        jnp.asarray(sb.dt), jnp.asarray(sb.gid), jnp.asarray(sb.tab),
+        jnp.asarray(sb.aux), depth=sb.depth, mn_cap=sb.mn_cap,
+        g_cap=sb.g_cap, interpret=True,
+    )
+    buckets = tuple(
+        tuple(jnp.asarray(np.asarray(a)) for a in b)
+        for b in sb.leaf_buckets
+    )
+    oends = jnp.asarray(np.asarray(sb.leaf2_out_ends))
+    base, _ = lt.leaf2_scores_multi(rows, oends, buckets, nb=sb.leaf_nb)
+    split, _ = lt.leaf2_scores_multi(
+        rows, oends, buckets, nb=sb.leaf_nb, split_s=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(split), np.asarray(base), rtol=RTOL, atol=ATOL
+    )
+
+
 def test_store_without_leaves_still_works(tmp_path):
     from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
 
