@@ -254,10 +254,14 @@ if not FAST:
         rel = float(np.abs(d_mixed - d_f32).max() / denom)
         flips = int(np.sum((d_mixed > 0) != (d_f32 > 0)))
         on = int(np.sum(d_f32 > 0))
-        # tf32 (10-bit mantissa) sits ~1e-3 rel; bf16 (7-bit) lands ~1e-2.
-        # The bound is a regression tripwire for precision downgrades, not
-        # a numerics spec.
-        assert rel < 5e-3, f"segmentation rel deviation {rel:.2e} >= 5e-3"
+        # Chip-measured (v5e, random params, 6OIM, this exact seg_args):
+        # HIGH ("tensorfloat32") rel = 1.59e-2 with 0/2322 voxel flips;
+        # DEFAULT (bf16) rel = 8.4e-1 with 42 flips — 53x apart. The bound
+        # is a regression tripwire for precision downgrades, not a
+        # numerics spec: 6e-2 is ~4x the measured HIGH deviation and ~14x
+        # under a DEFAULT downgrade. The semantic contract is the flips
+        # assert below (tf32 faithfulness = zero thresholded-voxel flips).
+        assert rel < 6e-2, f"segmentation rel deviation {rel:.2e} >= 6e-2"
         assert flips <= max(1, on // 500), (
             f"{flips} thresholded-voxel flips vs {on} on-voxels")
         return {"max_rel": rel, "voxel_flips": flips, "on_voxels": on}
