@@ -88,6 +88,15 @@ def iter_embedded(
     results are deterministic and independent of cpus/chunksize. backend
     "jax" runs each embed chunk as one device program (the TPU prepack
     path — forces cpus=1 so workers never touch the device runtime)."""
+    if backend == "jax":
+        # the device path fills embed._CHUNK_ROWS-row dispatch buckets
+        # (256 molecules at 8 conformers); the multiprocessing-friendly
+        # 64-entry jobs starve it into latency-bound <=64-mol dispatches
+        # split further per atom-count bucket (~4x prepack slowdown
+        # measured through the relay). Per-entry seeds make job size
+        # result-invariant (CI: test_batch_equals_single_and_chunk
+        # _invariance), so hand the device big jobs.
+        chunksize = max(chunksize, 4096)
     jobs = [
         (
             [
