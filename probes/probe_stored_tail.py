@@ -43,7 +43,7 @@ def main() -> None:
         [f"l{i}" for i in range(batch_size)],
         batch_size=batch_size, verbose=False, leaf_layout=layout,
     )
-    for f in sorted(Path(tmp, "batch_00000").iterdir()):
+    for f in sorted(Path(tmp, "batches", "00000").iterdir()):
         print(f"[probe] {f.name:24s} {f.stat().st_size/1e6:8.2f} MB")
 
     store = TiledStore(tmp, screener.packed_model)
