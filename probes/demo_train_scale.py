@@ -246,9 +246,9 @@ def run_phase_b(report: dict) -> None:
     from pharmaconet_tpu.module import PharmacoNet
     from pharmaconet_tpu.parallel.mesh import data_mesh
     from pharmaconet_tpu.parallel.proxy import ShardedCacheBuilder
-    from pharmaconet_tpu.proxy.data import (
-        batch_graphs, graph_batch_to_arrays, smi2graph)
+    from pharmaconet_tpu.proxy.data import batch_graphs, smi2graph
     from pharmaconet_tpu.proxy.sbddreward import SBDDReward_Proxy
+    from pharmaconet_tpu.proxy.tacogfn import graph_batch_to_arrays
 
     n_pockets = int(os.environ.get("DEMO_CACHE_POCKETS", "64"))
     PDB = "/root/reference/examples/6OIM_protein.pdb"
