@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                        help="ligands per stored batch")
     tiles.add_argument("--pack_threads", type=int, default=1,
                        help="host threads for the native tile packer")
+    tiles.add_argument("--leaf_wire", type=str, default="dense",
+                       choices=("dense", "sparse"),
+                       help="baked-leaf on-disk/wire format (v3 stores): "
+                            "'sparse' ships set-bit indices instead of "
+                            "bit-planes (~4-6x fewer leaf bytes on real "
+                            "chemistry; device rebuilds the planes with one "
+                            "scatter per bucket, scores equal to the dense "
+                            "wire: bit-identical on CPU, ULP-level on TPU)")
     tiles.add_argument("--tiles_version", type=int, default=3, choices=(2, 3),
                        help="store layout: 3 = block-major + deduplicated "
                             "group tables (default: ~4x smaller on disk, "
@@ -142,13 +150,17 @@ def main(args) -> int:
         model = PackedModel.from_model(
             PharmacophoreModel.load(args.pharmacophore_model), weights
         )
-        writer = (
-            write_v3_store if args.tiles_version == 3 else write_tiled_store
-        )
-        meta = writer(
-            args.tiles_out, model, packed, names,
-            batch_size=args.batch_size, threads=args.pack_threads,
-        )
+        if args.tiles_version == 3:
+            meta = write_v3_store(
+                args.tiles_out, model, packed, names,
+                batch_size=args.batch_size, threads=args.pack_threads,
+                leaf_wire=args.leaf_wire,
+            )
+        else:
+            meta = write_tiled_store(
+                args.tiles_out, model, packed, names,
+                batch_size=args.batch_size, threads=args.pack_threads,
+            )
         shape = (
             f"T {meta['t']}, mn_cap {meta['mn_cap']}"
             if meta["version"] == 3 else f"width {meta['width']}"

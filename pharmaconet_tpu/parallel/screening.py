@@ -256,13 +256,14 @@ class ShardedScreener(BatchScreener):
         prog = self._v3_programs.get(key)
         if prog is None:
             if isinstance(w_cap, tuple):
-                # bucketed leaf layout: w_cap carries (nb, n_buckets);
-                # the flat operand order is dt,gid,tab,aux,oends then
-                # 6 arrays per bucket (leaf_tree.leaf2_scores_multi)
+                # bucketed leaf layout: w_cap carries (nb, n_buckets,
+                # arity); the flat operand order is dt,gid,tab,aux,oends
+                # then `arity` arrays per bucket — 6 for the dense wire,
+                # 7 for the sparse wire (leaf_tree.leaf2_scores_multi)
                 from ..scoring.leaf_tree import leaf2_scores_multi
 
-                nb, n_buckets = w_cap
-                n_ops = 5 + 6 * n_buckets
+                nb, n_buckets, arity = w_cap
+                n_ops = 5 + arity * n_buckets
 
                 @jax.jit
                 def sharded_score(*ops):
@@ -274,7 +275,10 @@ class ShardedScreener(BatchScreener):
                             interpret=interpret,
                         )
                         buckets = tuple(
-                            tuple(a[0] for a in ops[5 + 6 * k : 11 + 6 * k])
+                            tuple(
+                                a[0]
+                                for a in ops[5 + arity * k : 5 + arity * (k + 1)]
+                            )
                             for k in range(n_buckets)
                         )
                         scores, out_rows = leaf2_scores_multi(
@@ -377,19 +381,20 @@ class ShardedScreener(BatchScreener):
             if use_buckets:
                 # store-wide bucket shapes guarantee uniform stacking
                 n_buckets = len(sbs[0].leaf_buckets)
+                arity = len(sbs[0].leaf_buckets[0])  # 6 dense / 7 sparse
                 stacked = [
                     jnp.asarray(np.stack(
                         [np.asarray(getattr(sb, f)) for sb in sbs]))
                     for f in ("dt", "gid", "tab", "aux", "leaf2_out_ends")
                 ]
                 for k in range(n_buckets):
-                    for j in range(6):
+                    for j in range(arity):
                         stacked.append(jnp.asarray(np.stack(
                             [np.asarray(sb.leaf_buckets[k][j])
                              for sb in sbs])))
                 program = self._v3_sharded_program(
                     depth, mn_cap, g_cap, self.pallas_interpret, use_ends,
-                    w_cap=(sbs[0].leaf_nb, n_buckets))
+                    w_cap=(sbs[0].leaf_nb, n_buckets, arity))
             else:
                 if use_leaves:
                     fields = ("dt", "gid", "tab", "aux", "leaf2_ends",

@@ -771,6 +771,53 @@ def _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf,
     return _bucket_epilogue(s, a_c, tw, conf, rows_z.dtype)
 
 
+def _bucket_scores_sparse(rows_z, ends2, sidx, cidx, prune_w, conf, shp):
+    """[Bk] per-bucket leaf scores from the SPARSE wire format.
+
+    The dense one-hot planes are low-density on real chemistry (mean
+    leaf depth ~7.7 set bits of Wk>=192 columns, and live leaf rows are
+    25-45% of the padded Lk), so the wire/disk format ships the set-bit
+    FLAT indices (i32 into [Bk, Lk, Wk], pad = out-of-bounds -> dropped
+    by the scatter) and the device rebuilds the planes with one scatter
+    each — the einsums see the same one-hot planes as the dense wire, so
+    scores are bit-identical on CPU and within einsum accumulation-order
+    rounding on TPU (chip-measured max 7.6e-6 abs on 200 real-shaped
+    ligands; XLA tiles the scatter-fed and unpackbits-fed matmuls
+    differently). `shp` is a [Lk, 0] placeholder whose SHAPE carries
+    the static leaf cap (the sparse arrays alone cannot)."""
+    c = rows_z.shape[1]
+    bk, wk = prune_w.shape
+    lk = shp.shape[0]
+    size = bk * lk * wk
+    tw = rows_z[ends2].reshape(bk, wk, c)
+    tw = jnp.where(prune_w[:, :, None], -1.0, tw)
+    a_s = (
+        jnp.zeros(size, rows_z.dtype)
+        .at[sidx].set(1, mode="drop")
+        .reshape(bk, lk, wk)
+    )
+    a_c = (
+        jnp.zeros(size, jnp.bfloat16)
+        .at[cidx].set(1, mode="drop")
+        .reshape(bk, lk, wk)
+    )
+    # see _bucket_scores: the S einsum MUST run at HIGHEST
+    s = jnp.einsum(
+        "blw,bwc->blc", a_s, tw, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return _bucket_epilogue(s, a_c, tw, conf, rows_z.dtype)
+
+
+def planes_to_sparse(plane_u8: np.ndarray, wk: int) -> np.ndarray:
+    """Set-bit flat indices (i32, C-order over [Bk, Lk, Wk]) of a packed
+    bit-plane — the sparse wire form consumed by _bucket_scores_sparse."""
+    bits = np.unpackbits(plane_u8, axis=2, count=wk)
+    idx = np.flatnonzero(bits)
+    assert idx.size == 0 or idx[-1] < np.iinfo(np.int32).max
+    return idx.astype(np.int32)
+
+
 def _bucket_epilogue(s, a_c, tw, conf, dtype):
     c = tw.shape[2]
     d = jnp.einsum(
@@ -800,9 +847,16 @@ def leaf2_scores_multi(
     c = rows.shape[1]
     rows_z = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)], axis=0)
     scores = jnp.zeros(nb, rows.dtype)
-    for ends2, plane_s, plane_c, prune_w, conf, lig_idx in buckets:
-        sk = _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w, conf,
-                            split_s=split_s)
+    for b in buckets:
+        if len(b) == 7:  # sparse wire: (ends2, sidx, cidx, pw, conf, idx, shp)
+            ends2, sidx, cidx, prune_w, conf, lig_idx, shp = b
+            sk = _bucket_scores_sparse(
+                rows_z, ends2, sidx, cidx, prune_w, conf, shp
+            )
+        else:
+            ends2, plane_s, plane_c, prune_w, conf, lig_idx = b
+            sk = _bucket_scores(rows_z, ends2, plane_s, plane_c, prune_w,
+                                conf, split_s=split_s)
         scores = scores.at[lig_idx].set(sk, mode="drop")
     return scores, rows_z[out_ends]
 

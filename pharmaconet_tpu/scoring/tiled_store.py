@@ -376,6 +376,7 @@ def write_v3_store(
     bake_leaves: bool = True,
     leaf_caps: tuple[int, int] | None = None,
     leaf_layout: str = "buckets",
+    leaf_wire: str = "dense",
 ) -> dict:
     """Pack the library into a version-3 (block-major) tile store.
 
@@ -400,7 +401,16 @@ def write_v3_store(
     (leaf_tree.build_leaf_buckets): the screen-time window gather pays
     ~E[ceil(nref/64)] slots per ligand instead of the p97 cap — the
     dominant leaf-chain cost (PERF_NOTES round 4: 3.34 of 6.01 ms).
-    "single" keeps the one-cap dense layout (build_leaf_dense)."""
+    "single" keeps the one-cap dense layout (build_leaf_dense).
+
+    leaf_wire "dense" (default) ships the one-hot planes as packed
+    bit-planes; "sparse" (buckets layout only) ships the set-bit flat
+    indices instead — ~4-6x fewer leaf bytes on disk and over the
+    host->device link on real chemistry (mean leaf depth ~7.7 of Wk>=192
+    columns; live rows 25-45% of Lk) — and the device rebuilds the
+    planes with one scatter per bucket feeding the SAME einsums
+    (scores bit-identical on CPU, ULP-level on TPU — chip-measured max
+    7.6e-6 abs; leaf_tree._bucket_scores_sparse)."""
     from .batch_screen import (
         BatchScreener,
         build_batch,
@@ -413,6 +423,10 @@ def write_v3_store(
     out = Path(out_dir)
     (out / "batches").mkdir(parents=True, exist_ok=True)
     assert len(packed) == len(names)
+    if leaf_wire not in ("dense", "sparse"):
+        raise ValueError(f"unknown leaf_wire {leaf_wire!r}")
+    if leaf_wire == "sparse" and leaf_layout != "buckets":
+        raise ValueError("leaf_wire='sparse' requires leaf_layout='buckets'")
 
     cmax = max((p.num_conformers for p in packed if p.clusters), default=1)
     n_batches = (len(packed) + batch_size - 1) // batch_size
@@ -637,6 +651,7 @@ def write_v3_store(
                     if counts[j] > 0
                 ]
 
+            nnz_max = [[0, 0] for _ in bucket_specs]
             for bi, _rows_per, _nref_per, _leaves_per, risky in stats:
                 bdir = out / "batches" / f"{bi:05d}"
                 host = np.load(bdir / "host.npz")
@@ -659,8 +674,19 @@ def write_v3_store(
                         force_demote=demote,
                     )
                     for k, b in enumerate(bake.buckets):
-                        np.save(bdir / f"leafb{k}_ps.npy", b.plane_score)
-                        np.save(bdir / f"leafb{k}_pc.npy", b.plane_cross)
+                        if leaf_wire == "sparse":
+                            from .leaf_tree import planes_to_sparse
+
+                            wk = bucket_specs[k][2]
+                            sidx = planes_to_sparse(b.plane_score, wk)
+                            cidx = planes_to_sparse(b.plane_cross, wk)
+                            np.save(bdir / f"leafb{k}_sidx.npy", sidx)
+                            np.save(bdir / f"leafb{k}_cidx.npy", cidx)
+                            nnz_max[k][0] = max(nnz_max[k][0], len(sidx))
+                            nnz_max[k][1] = max(nnz_max[k][1], len(cidx))
+                        else:
+                            np.save(bdir / f"leafb{k}_ps.npy", b.plane_score)
+                            np.save(bdir / f"leafb{k}_pc.npy", b.plane_cross)
                         np.save(bdir / f"leafb{k}_pw.npy", b.prune_w)
                         np.save(bdir / f"leafb{k}_ends.npy", b.ends2)
                         np.save(bdir / f"leafb{k}_conf.npy", b.conf)
@@ -691,10 +717,34 @@ def write_v3_store(
                     n_rows=np.asarray(lb.n_out_rows),
                 )
                 (bdir / "leaves_raw.npz").unlink()
+            if leaf_wire == "sparse":
+                # pass 2f: pad every batch's sparse index arrays to the
+                # store-wide maxima (one program shape); pad value is the
+                # plane size = out of bounds, dropped by the device scatter
+                from .leaf_tree import _round_up
+
+                pads = [
+                    (max(_round_up(s, 128), 128), max(_round_up(c_, 128), 128))
+                    for s, c_ in nnz_max
+                ]
+                for bi, *_rest in stats:
+                    bdir = out / "batches" / f"{bi:05d}"
+                    for k, (bk, lk, wk) in enumerate(bucket_specs):
+                        size = bk * lk * wk
+                        for name, pad in (("sidx", pads[k][0]),
+                                          ("cidx", pads[k][1])):
+                            f = bdir / f"leafb{k}_{name}.npy"
+                            a = np.load(f)
+                            if len(a) < pad:
+                                a = np.concatenate([
+                                    a, np.full(pad - len(a), size, np.int32)
+                                ])
+                            np.save(f, a)
             if leaf_layout == "buckets":
                 leaf_meta = dict(
                     leaf2_buckets=[list(s) for s in bucket_specs],
                     leaf2_nout=nout,
+                    leaf_wire=leaf_wire,
                 )
             else:
                 leaf_meta = dict(
@@ -917,17 +967,34 @@ class TiledStore:
             leaf2_out = {k: out_npz[k] for k in out_npz.files}
         leaf_buckets = None
         if has_buckets:
-            leaf_buckets = tuple(
-                (
-                    np.load(bdir / f"leafb{k}_ends.npy", mmap_mode=mm),
-                    np.load(bdir / f"leafb{k}_ps.npy", mmap_mode=mm),
-                    np.load(bdir / f"leafb{k}_pc.npy", mmap_mode=mm),
-                    np.load(bdir / f"leafb{k}_pw.npy", mmap_mode=mm),
-                    np.load(bdir / f"leafb{k}_conf.npy", mmap_mode=mm),
-                    np.load(bdir / f"leafb{k}_idx.npy", mmap_mode=mm),
+            if m.get("leaf_wire") == "sparse":
+                # sparse wire: set-bit flat indices + a zero-byte [Lk, 0]
+                # placeholder whose SHAPE carries the static leaf cap
+                # (leaf_tree._bucket_scores_sparse)
+                leaf_buckets = tuple(
+                    (
+                        np.load(bdir / f"leafb{k}_ends.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_sidx.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_cidx.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_pw.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_conf.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_idx.npy", mmap_mode=mm),
+                        np.zeros((m["leaf2_buckets"][k][1], 0), np.uint8),
+                    )
+                    for k in range(len(m["leaf2_buckets"]))
                 )
-                for k in range(len(m["leaf2_buckets"]))
-            )
+            else:
+                leaf_buckets = tuple(
+                    (
+                        np.load(bdir / f"leafb{k}_ends.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_ps.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_pc.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_pw.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_conf.npy", mmap_mode=mm),
+                        np.load(bdir / f"leafb{k}_idx.npy", mmap_mode=mm),
+                    )
+                    for k in range(len(m["leaf2_buckets"]))
+                )
         return StoredV3Batch(
             dt=np.load(bdir / "dt.npy", mmap_mode=mm),
             gid=np.load(bdir / "gid.npy", mmap_mode=mm),

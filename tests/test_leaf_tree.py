@@ -390,6 +390,75 @@ def test_bucketed_matches_single_layout(tmp_path):
     )
 
 
+def test_sparse_wire_matches_dense(tmp_path):
+    """The sparse leaf wire (set-bit flat indices, device-side scatter
+    densify) scores BIT-identically to the dense bit-plane wire on CPU —
+    the einsums see the same one-hot planes (on TPU the two programs tile
+    differently: chip-measured max 7.6e-6 abs) — and the store is
+    smaller."""
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+    model = make_synthetic_model(num_clusters=20, seed=5)
+    pm = PackedModel.from_model(model, None)
+    packed = make_synthetic_ligands(96, seed=21)
+    scr = BatchScreener(model, engine="v3", pallas_interpret=True)
+    scores, bytes_ = {}, {}
+    for wire in ("dense", "sparse"):
+        d = tmp_path / wire
+        write_v3_store(
+            d, pm, packed, [f"l{i}" for i in range(len(packed))],
+            batch_size=96, verbose=False, leaf_wire=wire,
+        )
+        sb = TiledStore(d, pm).load(0)
+        if wire == "sparse":
+            assert len(sb.leaf_buckets[0]) == 7  # sparse tuple shape
+            assert sb.leaf_buckets[0][1].dtype == np.int32
+        scores[wire] = np.asarray(scr.score_stored(sb))
+        bytes_[wire] = sum(
+            f.stat().st_size
+            for f in (d / "batches" / "00000").glob("leafb*")
+        )
+    np.testing.assert_array_equal(scores["sparse"], scores["dense"])
+    assert bytes_["sparse"] < bytes_["dense"]
+
+
+def test_sparse_wire_cli_roundtrip(tmp_path):
+    """prepack --leaf_wire sparse -> screening CLI == dense-wire CSV."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from pharmaconet_tpu.scoring.library import save_library
+
+    model = make_synthetic_model(num_clusters=20, seed=5)
+    mp = tmp_path / "model.pm"
+    model.save(str(mp))
+    packed = make_synthetic_ligands(64, seed=3)
+    lib = tmp_path / "lib.npz"
+    save_library(lib, packed, [f"l{i}" for i in range(len(packed))])
+    csvs = {}
+    for wire in ("dense", "sparse"):
+        tiles = tmp_path / f"tiles_{wire}"
+        r = subprocess.run(
+            [_sys.executable, "prepack.py", "--library", str(lib),
+             "-p", str(mp), "--tiles_out", str(tiles),
+             "--batch_size", "64", "--leaf_wire", wire],
+            cwd="/root/repo", capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = tmp_path / f"scores_{wire}.csv"
+        r = subprocess.run(
+            [_sys.executable, "screening.py", "-p", str(mp),
+             "--library_tiles", str(tiles), "-o", str(out)],
+            cwd="/root/repo", capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        csvs[wire] = out.read_text()
+    assert csvs["sparse"] == csvs["dense"]
+
+
 def test_bucketed_forced_outliers(tmp_path):
     """Tight demotion caps on a bucketed store still route heavy ligands
     through the host-DFS outlier set with exact scores."""

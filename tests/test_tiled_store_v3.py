@@ -233,3 +233,26 @@ def test_v3_stored_group_mesh_equality(corpus, tmp_path):
     for k, sb in enumerate(sbs):
         single = screener.score_stored(store.load(k))
         np.testing.assert_allclose(grouped[k], single, rtol=2e-5, atol=1e-4)
+
+
+def test_v3_stored_group_mesh_equality_sparse_wire(corpus, tmp_path):
+    """The sharded grouped program handles the 7-element sparse-wire
+    bucket tuples (arity-parameterized operand layout) with scores equal
+    to the dense wire."""
+    from pharmaconet_tpu.parallel.screening import ShardedScreener
+    from pharmaconet_tpu.scoring.tiled_store import TiledStore, write_v3_store
+
+    model, packed, names, _ = corpus
+    screener = ShardedScreener(model, engine="v3", pallas_interpret=True)
+    n_dev = screener.mesh.devices.size
+    write_v3_store(
+        tmp_path / "store", screener.packed_model, packed, names,
+        batch_size=8, verbose=False, leaf_wire="sparse",
+    )
+    store = TiledStore(tmp_path / "store", screener.packed_model)
+    sbs = [store.load(i) for i in range(n_dev)]
+    assert all(len(sb.leaf_buckets[0]) == 7 for sb in sbs)
+    grouped = screener.score_stored_group(sbs)
+    for k, sb in enumerate(sbs):
+        single = screener.score_stored(store.load(k))
+        np.testing.assert_allclose(grouped[k], single, rtol=2e-5, atol=1e-4)
