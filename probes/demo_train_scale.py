@@ -240,15 +240,12 @@ def run_phase_a(report: dict) -> None:
 # ---------------------------------------------------------------------------
 def run_phase_b(report: dict) -> None:
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from pharmaconet_tpu.module import PharmacoNet
     from pharmaconet_tpu.parallel.mesh import data_mesh
     from pharmaconet_tpu.parallel.proxy import ShardedCacheBuilder
-    from pharmaconet_tpu.proxy.data import batch_graphs, smi2graph
-    from pharmaconet_tpu.proxy.sbddreward import SBDDReward_Proxy
-    from pharmaconet_tpu.proxy.tacogfn import graph_batch_to_arrays
+    from pharmaconet_tpu.proxy.proxies import SBDDReward_Proxy
 
     n_pockets = int(os.environ.get("DEMO_CACHE_POCKETS", "64"))
     PDB = "/root/reference/examples/6OIM_protein.pdb"
@@ -257,14 +254,7 @@ def run_phase_b(report: dict) -> None:
     pmnet = PharmacoNet(weight_path=None, verbose=False)
     proxy = SBDDReward_Proxy()
     proxy.pmnet = pmnet
-
-    features, _ = pmnet.feature_extraction(PDB, REF)
-    feats = [jnp.asarray(f) for f in features]
-    batch = graph_batch_to_arrays(
-        batch_graphs([smi2graph("CCO")], pad_multiple=8), categorical=False)
-    proxy.params = proxy.model.init(
-        jax.random.PRNGKey(0), feats, jnp.zeros((2, 16)),
-        jnp.zeros((2, 3)), batch)
+    proxy._init_random()
 
     center = pmnet.get_center(REF)
     pocket_info = {
