@@ -64,14 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
                        help="ligands per stored batch")
     tiles.add_argument("--pack_threads", type=int, default=1,
                        help="host threads for the native tile packer")
-    tiles.add_argument("--leaf_wire", type=str, default="dense",
+    tiles.add_argument("--leaf_wire", type=str, default="sparse",
                        choices=("dense", "sparse"),
-                       help="baked-leaf on-disk/wire format (v3 stores): "
-                            "'sparse' ships set-bit indices instead of "
-                            "bit-planes (~4-6x fewer leaf bytes on real "
-                            "chemistry; device rebuilds the planes with one "
-                            "scatter per bucket, scores equal to the dense "
-                            "wire: bit-identical on CPU, ULP-level on TPU)")
+                       help="baked-leaf on-disk/wire format (v3 stores). "
+                            "'sparse' (default) ships set-bit indices "
+                            "instead of bit-planes — ~3x fewer leaf bytes "
+                            "on real chemistry, 1.3x smaller store on disk "
+                            "and on the host->device stream; the device "
+                            "rebuilds the planes with one scatter per "
+                            "bucket (+2 ms/2048-batch), scores equal to "
+                            "'dense' (bit-identical on CPU, ULP-level on "
+                            "TPU). 'dense' wins only when the store is "
+                            "RAM-resident and the chain is compute-bound")
     tiles.add_argument("--tiles_version", type=int, default=3, choices=(2, 3),
                        help="store layout: 3 = block-major + deduplicated "
                             "group tables (default: ~4x smaller on disk, "

@@ -861,6 +861,27 @@ def leaf2_scores_multi(
     return scores, rows_z[out_ends]
 
 
+def store_bucket_planes(b: tuple) -> tuple:
+    """Normalize a TiledStore leaf-bucket tuple to the dense 6-tuple
+    (ends2, plane_score_u8, plane_cross_u8, prune_w, conf, lig_idx).
+
+    Sparse-wire tuples (arity 7: set-bit flat indices + a [Lk, 0] shape
+    placeholder) are densified on host — the f64 mirror and chip-CI
+    equality checks then run identically for either wire."""
+    if len(b) == 6:
+        return tuple(np.asarray(a) for a in b)
+    ends2, sidx, cidx, prune_w, conf, lig_idx, shp = (np.asarray(a) for a in b)
+    bk, wk = prune_w.shape
+    lk = shp.shape[0]
+    size = bk * lk * wk
+    planes = []
+    for idx in (sidx, cidx):
+        flat = np.zeros(size, np.uint8)
+        flat[idx[idx < size]] = 1
+        planes.append(np.packbits(flat.reshape(bk, lk, wk), axis=2))
+    return ends2, planes[0], planes[1], prune_w, conf, lig_idx
+
+
 def leaf2_scores_multi_host(
     rows: np.ndarray, bake: LeafBake, nb: int
 ) -> tuple[np.ndarray, np.ndarray]:

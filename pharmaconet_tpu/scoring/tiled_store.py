@@ -376,7 +376,7 @@ def write_v3_store(
     bake_leaves: bool = True,
     leaf_caps: tuple[int, int] | None = None,
     leaf_layout: str = "buckets",
-    leaf_wire: str = "dense",
+    leaf_wire: str = "sparse",
 ) -> dict:
     """Pack the library into a version-3 (block-major) tile store.
 
@@ -403,14 +403,16 @@ def write_v3_store(
     dominant leaf-chain cost (PERF_NOTES round 4: 3.34 of 6.01 ms).
     "single" keeps the one-cap dense layout (build_leaf_dense).
 
-    leaf_wire "dense" (default) ships the one-hot planes as packed
-    bit-planes; "sparse" (buckets layout only) ships the set-bit flat
-    indices instead — ~4-6x fewer leaf bytes on disk and over the
-    host->device link on real chemistry (mean leaf depth ~7.7 of Wk>=192
-    columns; live rows 25-45% of Lk) — and the device rebuilds the
-    planes with one scatter per bucket feeding the SAME einsums
-    (scores bit-identical on CPU, ULP-level on TPU — chip-measured max
-    7.6e-6 abs; leaf_tree._bucket_scores_sparse)."""
+    leaf_wire "sparse" (default; buckets layout only) ships the set-bit
+    flat indices instead of packed bit-planes — ~3x fewer leaf bytes on
+    disk and over the host->device link on real chemistry (measured:
+    1.40 GB -> 0.46 GB leaf, 1.32x total store, SPARSE_WIRE.json) — and
+    the device rebuilds the planes with one scatter per bucket feeding
+    the SAME einsums (+2.0 ms/2048-batch; scores bit-identical on CPU,
+    ULP-level on TPU — chip-measured max 7.6e-6 abs;
+    leaf_tree._bucket_scores_sparse). "dense" keeps the bit-plane wire —
+    marginally better only when the store is RAM-resident and the
+    pipeline is compute-bound."""
     from .batch_screen import (
         BatchScreener,
         build_batch,
@@ -425,8 +427,10 @@ def write_v3_store(
     assert len(packed) == len(names)
     if leaf_wire not in ("dense", "sparse"):
         raise ValueError(f"unknown leaf_wire {leaf_wire!r}")
-    if leaf_wire == "sparse" and leaf_layout != "buckets":
-        raise ValueError("leaf_wire='sparse' requires leaf_layout='buckets'")
+    if leaf_layout != "buckets":
+        # the sparse wire exists only for the bucketed layout; "single"
+        # (the comparison layout) always writes dense bit-planes
+        leaf_wire = "dense"
 
     cmax = max((p.num_conformers for p in packed if p.clusters), default=1)
     n_batches = (len(packed) + batch_size - 1) // batch_size

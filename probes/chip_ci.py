@@ -161,9 +161,11 @@ def c3():
     bake = types.SimpleNamespace(
         buckets=[
             types.SimpleNamespace(
-                ends2=np.asarray(b[0]), plane_score=np.asarray(b[1]),
-                plane_cross=np.asarray(b[2]), prune_w=np.asarray(b[3]),
-                conf=np.asarray(b[4]), lig_idx=np.asarray(b[5]),
+                **dict(zip(
+                    ("ends2", "plane_score", "plane_cross", "prune_w",
+                     "conf", "lig_idx"),
+                    lt.store_bucket_planes(b),
+                ))
             )
             for b in sb.leaf_buckets
         ],
