@@ -35,7 +35,7 @@ from .data.featurizer import (
 )
 from .network.convert import load_npz_checkpoint, load_reference_checkpoint
 from .network.model import build_model
-from .ops.postprocess import postprocess_density
+from .ops.postprocess import postprocess_density, sparse_compact
 from .ops.voxelize import voxelize
 from .pharmacophore.model import PharmacophoreModel
 
@@ -96,6 +96,8 @@ class PharmacoNet:
         matmul_precision: str = "float32",
         segmentation_precision: str | None = "tensorfloat32",
         voxelizer: str = "xla",
+        density_wire: str = "sparse",
+        sparse_transfer_cap: int = 16384,
         _random_init_seed: int | None = None,
     ):
         """matmul_precision: 'float32' pins full-precision matmuls/convs on
@@ -117,8 +119,23 @@ class PharmacoNet:
         (ops/voxelize_pallas.py fused kernel — equality with the XLA path is
         enforced by tests/test_voxelize.py and was verified on real TPU;
         measured on v5e-1 the XLA path is 2.6x faster at 64-cube/33ch,
-        5.3 vs 13.6 ms, so it stays the default)."""
+        5.3 vs 13.6 ms, so it stays the default).
+
+        density_wire: 'sparse' (default) ships each hotspot's post-threshold
+        density map to the host as (flat-index, value) pairs compacted on
+        device — the maps are masked to box∩protein∩cavity and thresholded
+        at box_threshold (ops/postprocess.py), so typically <2% of the 64^3
+        voxels are nonzero and the device->host transfer shrinks 10-60x
+        (the reference streams every dense map over PCIe,
+        /root/reference/src/pmnet/module.py:266-276). Host reconstruction
+        is an exact scatter: bit-identical maps vs density_wire='dense'.
+        Maps whose nonzero count exceeds sparse_transfer_cap (bounded above
+        by the box-area sphere, ~17k voxels at the largest radius) fall
+        back to a per-map dense transfer, so the cap affects only speed."""
         assert voxelizer in ("xla", "pallas")
+        assert density_wire in ("sparse", "dense")
+        self.density_wire = density_wire
+        self.sparse_transfer_cap = int(sparse_transfer_cap)
         self.voxelizer = voxelizer
         self.matmul_precision = matmul_precision
         self.segmentation_precision = segmentation_precision or matmul_precision
@@ -419,6 +436,28 @@ class PharmacoNet:
                 hotspot_tokens, hotspot_feats, hotspot_valid,
             )
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _segmentation_program_sparse(
+        self,
+        pyramid,
+        protein_mask: jax.Array,
+        cavity_narrow: jax.Array,
+        hotspot_tokens: jax.Array,
+        hotspot_feats: jax.Array,
+        hotspot_valid: jax.Array,
+    ):
+        """Segmentation slab + on-device nonzero compaction for the sparse
+        density wire: returns (dense_maps, vals[K,cap], idxs[K,cap],
+        counts[K]). The dense maps stay device-resident — the host only
+        pulls them (per map) when a count exceeds the cap."""
+        with jax.default_matmul_precision(self.matmul_precision):
+            density = self._segment_slab(
+                pyramid, protein_mask, cavity_narrow,
+                hotspot_tokens, hotspot_feats, hotspot_valid,
+            )
+        vals, idxs, counts = sparse_compact(density, self.sparse_transfer_cap)
+        return density, vals, idxs, counts
+
     # ------------------------------------------------------------------
     # Public API (mirrors reference module.py:112-188)
     # ------------------------------------------------------------------
@@ -497,7 +536,7 @@ class PharmacoNet:
             valid = np.zeros(size, dtype=bool)
             valid[: len(slab)] = True
             idx_dev = jnp.asarray(idx)
-            density = self._segmentation_program(
+            args = (
                 out["pyramid"],
                 out["protein_mask"],
                 out["cavity_narrow"],
@@ -505,8 +544,14 @@ class PharmacoNet:
                 out["token_features"][idx_dev],
                 jnp.asarray(valid),
             )
+            if self.density_wire == "sparse":
+                density, vals, idxs, counts = self._segmentation_program_sparse(*args)
+                sparse = (vals, idxs, counts)
+            else:
+                density = self._segmentation_program(*args)
+                sparse = None
             infos += self.hotspot_infos_from_outputs(
-                data, idx, valid, rel_scores, density
+                data, idx, valid, rel_scores, density, sparse=sparse
             )
         return infos
 
@@ -517,19 +562,47 @@ class PharmacoNet:
         hotspot_valid: np.ndarray,
         rel_scores: np.ndarray,
         density_maps: jax.Array,
+        sparse: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     ) -> list[dict[str, Any]]:
         """Host post-processing of one pocket's device outputs (shared by the
-        single-pocket path and parallel.modeling's multi-pocket driver)."""
+        single-pocket path and parallel.modeling's multi-pocket driver).
+
+        sparse: optional (vals[K,cap], idxs[K,cap], counts[K]) from the
+        sparse density wire — maps are reconstructed by exact scatter;
+        any map whose count overflows the cap is pulled densely."""
         # transfer only the valid hotspot maps (device-side gather first)
         valid_slots = np.nonzero(hotspot_valid)[0]
-        if len(valid_slots):
+        map_shape = tuple(density_maps.shape[1:])
+        if sparse is not None:
+            vals_dev, idxs_dev, counts_dev = sparse
+            counts_h = np.asarray(counts_dev)
+            cap = vals_dev.shape[1]
+            if len(valid_slots):
+                # ship only the used prefix of the cap axis (counts are
+                # already on host; overflowing maps fall back dense, so the
+                # prefix only needs the largest non-overflow count).
+                # Rounded up to 256 to bound transfer-program shape churn.
+                cs = counts_h[valid_slots]
+                used = int(cs[cs <= cap].max()) if (cs <= cap).any() else 0
+                w = min(cap, max(256, -(-used // 256) * 256))
+                vs = jnp.asarray(valid_slots)
+                vals_h = np.asarray(vals_dev[vs, :w])
+                idxs_h = np.asarray(idxs_dev[vs, :w])
+        elif len(valid_slots):
             density_valid = np.asarray(density_maps[jnp.asarray(valid_slots)])
-        else:
-            density_valid = np.zeros((0,) + tuple(density_maps.shape[1:]), np.float32)
 
         hotspot_infos = []
         for k, slot in enumerate(valid_slots):
-            dmap = density_valid[k]
+            if sparse is not None:
+                c = int(counts_h[slot])
+                if c > cap:  # overflow: dense transfer of this one map
+                    dmap = np.asarray(density_maps[int(slot)])
+                else:
+                    dmap = np.zeros(int(np.prod(map_shape)), np.float32)
+                    dmap[idxs_h[k, :c]] = vals_h[k, :c]
+                    dmap = dmap.reshape(map_shape)
+            else:
+                dmap = density_valid[k]
             if np.all(dmap < 1e-6):
                 continue
             token_i = int(hotspot_idx[slot])

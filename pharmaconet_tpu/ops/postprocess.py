@@ -97,3 +97,29 @@ def postprocess_density(
     density = gaussian_smooth(density)
     density = jnp.where(available, density, 0.0)
     return jnp.where(density >= box_threshold, density, 0.0)
+
+
+def sparse_compact(density: jax.Array, cap: int):
+    """On-device nonzero compaction for the sparse density wire.
+
+    density: [K, ...spatial] post-threshold maps (mostly zeros — masked to
+    box∩protein∩cavity and thresholded at box_threshold above). Returns
+    (vals[K,cap] f32, idxs[K,cap] i32 flat indices, counts[K] i32). Host
+    reconstruction by scatter is exact; counts > cap signal overflow (the
+    caller falls back to a dense transfer for those maps).
+    """
+    flat = density.reshape(density.shape[0], -1)
+    nz = flat > 0.0
+    counts = nz.sum(axis=1, dtype=jnp.int32)
+
+    def compact(row_nz, row):
+        (idx,) = jnp.nonzero(row_nz, size=cap, fill_value=0)
+        idx = idx.astype(jnp.int32)
+        return idx, row[idx]
+
+    idxs, vals = jax.vmap(compact)(nz, flat)
+    # pad lanes gathered voxel 0 — zero them so a nonzero corner voxel
+    # can't leak into the padding
+    lane = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    vals = jnp.where(lane < jnp.minimum(counts, cap)[:, None], vals, 0.0)
+    return vals, idxs, counts

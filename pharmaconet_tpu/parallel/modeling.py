@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..module import PharmacoNet, ProteinData
+from ..ops.postprocess import sparse_compact
 from ..pharmacophore.model import PharmacophoreModel
 from .mesh import data_mesh
 
@@ -54,13 +55,19 @@ class ShardedModeler:
                 )
             # keep the cross-device outputs small: everything except the
             # pyramid/cavity tensors (density is gathered valid-only later)
-            return {
+            res = {
                 "hotspot_index": out["hotspot_index"],
                 "hotspot_valid": out["hotspot_valid"],
                 "rel_scores": out["rel_scores"],
                 "density_maps": out["density_maps"],
                 "keep_count": jnp.sum(out["keep"].astype(jnp.int32)),
             }
+            if pmnet.density_wire == "sparse":
+                vals, idxs, counts = sparse_compact(
+                    out["density_maps"], pmnet.sparse_transfer_cap
+                )
+                res.update({"sp_vals": vals, "sp_idxs": idxs, "sp_counts": counts})
+            return res
 
         def shard_body(ap, af, av, tk, tv, center):
             # [per_device, ...] on each mesh slot; pockets run sequentially
@@ -125,10 +132,13 @@ class ShardedModeler:
                 # path, which segments every kept token in overflow slabs
                 results.append(self.pmnet.create_density_maps(data))
             else:
+                sparse = None
+                if "sp_vals" in out:
+                    sparse = (out["sp_vals"][i], out["sp_idxs"][i], out["sp_counts"][i])
                 results.append(
                     self.pmnet.hotspot_infos_from_outputs(
                         data, hotspot_idx[i], hotspot_valid[i], rel_scores[i],
-                        out["density_maps"][i],
+                        out["density_maps"][i], sparse=sparse,
                     )
                 )
         return results
@@ -178,10 +188,18 @@ class ShardedSegmenter:
 
         def body(pyramid, protein_mask, cavity_narrow, tokens, feats, valid):
             with jax.default_matmul_precision(pmnet.matmul_precision):
-                return pmnet._segment_slab(
+                density = pmnet._segment_slab(
                     list(pyramid), protein_mask, cavity_narrow,
                     tokens, feats, valid,
                 )
+            if pmnet.density_wire == "sparse":
+                # flat voxel indices are map-local, so per-shard compaction
+                # composes with the K-axis sharding unchanged
+                vals, idxs, counts = sparse_compact(
+                    density, pmnet.sparse_transfer_cap
+                )
+                return density, vals, idxs, counts
+            return (density,)
 
         rep = P()
         fn = jax.jit(
@@ -217,7 +235,7 @@ class ShardedSegmenter:
         valid = np.zeros(k_total, dtype=bool)
         valid[:n] = True
         idx_dev = jnp.asarray(idx)
-        density = self._program(k_total // n_dev)(
+        res = self._program(k_total // n_dev)(
             tuple(out["pyramid"]),
             out["protein_mask"],
             out["cavity_narrow"],
@@ -225,8 +243,10 @@ class ShardedSegmenter:
             out["token_features"][idx_dev],
             jnp.asarray(valid),
         )
+        density, sparse = res[0], (res[1:] if len(res) > 1 else None)
         return pmnet.hotspot_infos_from_outputs(
-            data, idx, valid, np.asarray(out["rel_scores"]), density
+            data, idx, valid, np.asarray(out["rel_scores"]), density,
+            sparse=sparse,
         )
 
     def create_density_maps(self, data: ProteinData) -> list[dict[str, Any]]:

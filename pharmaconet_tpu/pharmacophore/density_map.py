@@ -224,14 +224,21 @@ def extract_components(density_map: np.ndarray):
     if num == 0:
         return
     flat = labeled.reshape(-1)
-    order = []
-    first_index = {}
-    for pos in np.nonzero(flat)[0]:
-        lab = flat[pos]
-        if lab not in first_index:
-            first_index[lab] = pos
-            order.append(lab)
+    nz_pos = np.nonzero(flat)[0]  # ascending flat index
+    labs = flat[nz_pos]
+    # component order = by smallest flat voxel index (canonical); within a
+    # component, voxels in ascending flat index (== np.argwhere's C order)
+    uniq, first_pos = np.unique(labs, return_index=True)
+    order = uniq[np.argsort(first_pos, kind="stable")]
+    group = np.argsort(labs, kind="stable")  # grouped by label, pos-ascending
+    grouped_pos = nz_pos[group]
+    starts = np.searchsorted(labs[group], uniq, side="left")
+    ends = np.searchsorted(labs[group], uniq, side="right")
+    bounds = {int(u): (int(s), int(e)) for u, s, e in zip(uniq, starts, ends)}
     for lab in order:
-        coords = np.argwhere(labeled == lab)
+        s, e = bounds[int(lab)]
+        coords = np.stack(
+            np.unravel_index(grouped_pos[s:e], labeled.shape), axis=1
+        )
         scores = density_map[coords[:, 0], coords[:, 1], coords[:, 2]].astype(np.float64)
         yield coords, scores

@@ -26,31 +26,66 @@ REF_SRC = "/root/reference/src"
 # --------------------------------------------------------------------------
 # Import the reference module graph with its native deps stubbed
 # --------------------------------------------------------------------------
+class _Anything:
+    """Absorbs chained attribute access and calls (stub leaf object)."""
+
+    def __getattr__(self, name):
+        if name.startswith("__"):  # never answer dunder protocol probes
+            raise AttributeError(name)
+        return self
+
+    def __call__(self, *args, **kwargs):
+        return self
+
+
+_ANY = _Anything()
+
+
+def _stub_module_getattr(name):
+    # PEP 562 module-level catch-all. MUST raise on dunders: answering
+    # __file__/__path__ with a non-string breaks inspect.getmodule for
+    # EVERY module in the process (observed via torch.library during
+    # pytest collection when a narrower stub answered __file__ with a
+    # class object).
+    if name.startswith("__"):
+        raise AttributeError(name)
+    return _ANY
+
+
 def install_openbabel_stub() -> None:
-    if "openbabel" in sys.modules:
-        return
+    """Install (or upgrade) the process-wide openbabel stub.
 
-    class _Anything:
-        def __getattr__(self, name):
-            return self
+    Idempotent and order-independent: if a stub is already registered
+    (e.g. by another test module imported earlier in the same pytest
+    process), it is upgraded in place to the full catch-all contract
+    rather than trusted — narrower stubs polluted later importers.
+    A REAL openbabel install (has a genuine __file__) is left alone.
+    """
+    existing = sys.modules.get("openbabel")
+    if existing is not None and isinstance(
+        existing.__dict__.get("__file__"), str
+    ):
+        return  # real package present; don't clobber
 
-        def __call__(self, *args, **kwargs):
-            return self
+    if existing is not None:
+        openbabel = existing
+        pybel = getattr(existing, "pybel", None) or types.ModuleType(
+            "openbabel.pybel"
+        )
+        ob = getattr(pybel, "ob", None) or types.ModuleType(
+            "openbabel.pybel.ob"
+        )
+    else:
+        openbabel = types.ModuleType("openbabel")
+        pybel = types.ModuleType("openbabel.pybel")
+        ob = types.ModuleType("openbabel.pybel.ob")
 
-    _any = _Anything()
-
-    def _getattr(_name):
-        return _any
-
-    ob = types.ModuleType("openbabel.pybel.ob")
     ob.OBAtomAtomIter = lambda atom: iter(atom.neighbors)
-    ob.__getattr__ = _getattr
-    pybel = types.ModuleType("openbabel.pybel")
+    ob.__getattr__ = _stub_module_getattr
     pybel.ob = ob
-    pybel.__getattr__ = _getattr
-    openbabel = types.ModuleType("openbabel")
+    pybel.__getattr__ = _stub_module_getattr
     openbabel.pybel = pybel
-    openbabel.__getattr__ = _getattr
+    openbabel.__getattr__ = _stub_module_getattr
     sys.modules["openbabel"] = openbabel
     sys.modules["openbabel.pybel"] = pybel
 

@@ -27,6 +27,9 @@ Checks (each prints ok/FAIL; exit 1 on any FAIL; summary JSON last):
                          pocket: bounded rel deviation + voxel flips
                          (catches an accidental bf16/default-precision
                          downgrade in the decoder); skipped by --fast
+  C7 sparse-density-wire on-device nonzero compaction + host scatter
+                         vs the dense transfer, bit-exact (round-5
+                         sparse density wire); skipped by --fast
 
 The battery runs on whatever jax.devices() resolves to, but the POINT
 is the real chip — it warns loudly when the device is not a TPU.
@@ -225,6 +228,8 @@ def c5():
     return {"rows": n}
 
 
+_C6_STATE: dict = {}
+
 if not FAST:
     @check("C6_seg_precision")
     def c6():
@@ -266,7 +271,35 @@ if not FAST:
         assert rel < 6e-2, f"segmentation rel deviation {rel:.2e} >= 6e-2"
         assert flips <= max(1, on // 500), (
             f"{flips} thresholded-voxel flips vs {on} on-voxels")
+        _C6_STATE.update(pm=pm, seg_args=seg_args, d_mixed=d_mixed)
         return {"max_rel": rel, "voxel_flips": flips, "on_voxels": on}
+
+    @check("C7_sparse_density_wire")
+    def c7():
+        # sparse device->host density wire (module.py density_wire, round
+        # 5): on-device nonzero compaction + host scatter must reproduce
+        # the dense transfer BIT-exactly on the real chip (reuses C6's
+        # compiled trunk + slab)
+        assert _C6_STATE, "C6 did not run/stash state"
+        pm, seg_args = _C6_STATE["pm"], _C6_STATE["seg_args"]
+        dense = _C6_STATE["d_mixed"]
+        _, vals, idxs, counts = pm._segmentation_program_sparse(*seg_args)
+        vals, idxs, counts = (np.asarray(vals), np.asarray(idxs),
+                              np.asarray(counts))
+        cap = vals.shape[1]
+        assert counts.max() <= cap, (
+            f"count {counts.max()} > cap {cap} on the 6OIM slab")
+        recon = np.zeros_like(dense).reshape(dense.shape[0], -1)
+        for k in range(dense.shape[0]):
+            c = int(counts[k])
+            recon[k, idxs[k, :c]] = vals[k, :c]
+        recon = recon.reshape(dense.shape)
+        assert np.array_equal(recon, dense), "sparse reconstruction differs"
+        dense_bytes = dense.nbytes
+        sparse_bytes = int(counts.sum()) * 8 + counts.nbytes
+        return {"maps": int(dense.shape[0]), "max_count": int(counts.max()),
+                "cap": cap, "transfer_shrink":
+                round(dense_bytes / max(sparse_bytes, 1), 1)}
 
 
 n_fail = sum(1 for r in RESULTS.values() if not r["ok"])

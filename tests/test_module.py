@@ -107,6 +107,38 @@ def test_overflow_hotspots_all_segmented(protein_pdb, ref_ligand_pdb):
         np.testing.assert_allclose(a["point_map"], b["point_map"], atol=1e-5)
 
 
+def test_sparse_density_wire_exact(micro_pmnet, protein_pdb, ref_ligand_pdb):
+    """The sparse device->host density wire must reconstruct BIT-IDENTICAL
+    maps vs the dense transfer (it ships the exact nonzero f32 values +
+    flat indices of the thresholded maps), including when the per-map
+    nonzero count overflows the cap (per-map dense fallback)."""
+    dense = PharmacoNet(
+        weight_path=None, score_threshold=0.0, verbose=False,
+        max_hotspots=8, segmentation_chunk=4, grid_dim=16, model_kwargs=MICRO,
+        density_wire="dense",
+    )
+    dense.focus_threshold = 0.0
+    data = dense.parse(protein_pdb, ref_ligand_pdb)
+    infos_dense = dense.create_density_maps(data)
+    assert infos_dense, "fixture pocket produced no hotspots"
+
+    for cap in (16384, 3):  # 3 forces the overflow fallback on every map
+        sparse = PharmacoNet(
+            weight_path=None, score_threshold=0.0, verbose=False,
+            max_hotspots=8, segmentation_chunk=4, grid_dim=16,
+            model_kwargs=MICRO, density_wire="sparse",
+            sparse_transfer_cap=cap,
+        )
+        sparse.focus_threshold = 0.0
+        infos_sparse = sparse.create_density_maps(data)
+        assert len(infos_sparse) == len(infos_dense)
+        for a, b in zip(infos_sparse, infos_dense):
+            assert a["nci_type"] == b["nci_type"]
+            assert a["hotspot_position"] == b["hotspot_position"]
+            assert a["hotspot_score"] == b["hotspot_score"]
+            np.testing.assert_array_equal(a["point_map"], b["point_map"])
+
+
 def test_relative_score_tie_semantics():
     """The rel-score gate counts STRICTLY-less distribution entries
     (searchsorted side='left' == the reference's `(dist < s).mean()`,

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import importlib.util
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -65,24 +64,16 @@ class _OracleAtom:
 
 
 def _load_reference_predicates():
-    """Import ligand_utils.py directly with `openbabel` stubbed."""
-    if "openbabel" not in sys.modules:
-        ob = types.ModuleType("openbabel.pybel.ob")
-        ob.OBAtomAtomIter = lambda atom: iter(atom.neighbors)
-        ob.OBAtom = object
-        ob.__getattr__ = lambda name: object  # PEP 562 absorb annotations
-        pybel = types.ModuleType("openbabel.pybel")
-        pybel.ob = ob
-        pybel.__getattr__ = lambda name: object
-        openbabel = types.ModuleType("openbabel")
-        openbabel.pybel = pybel
-        sys.modules["openbabel"] = openbabel
-        sys.modules["openbabel.pybel"] = pybel
-    else:
-        # ensure the scoring-parity stub's OBAtomAtomIter is present
-        sys.modules["openbabel.pybel"].ob.OBAtomAtomIter = (
-            lambda atom: iter(atom.neighbors)
-        )
+    """Import ligand_utils.py directly with `openbabel` stubbed.
+
+    Uses the shared upgrading installer: a narrower stub registered
+    earlier in the same process is upgraded, and this module's stub is
+    safe for later importers (dunder lookups raise, so inspect/getmodule
+    never see a non-string __file__).
+    """
+    from pharmaconet_tpu.utils.crosscheck import install_openbabel_stub
+
+    install_openbabel_stub()
     spec = importlib.util.spec_from_file_location("_ref_ligand_utils", REF_FILE)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -49,31 +49,10 @@ class _DuckAtom:
 
 
 def _install_openbabel_stub():
-    if "openbabel" in sys.modules:
-        return
-    class _Anything:  # absorbs annotation lookups and import-time calls
-        def __getattr__(self, name):
-            return self
+    # Shared upgrading installer (order-independent across test modules).
+    from pharmaconet_tpu.utils.crosscheck import install_openbabel_stub
 
-        def __call__(self, *args, **kwargs):
-            return self
-
-    _any = _Anything()
-
-    def _getattr(_name):
-        return _any
-
-    ob = types.ModuleType("openbabel.pybel.ob")
-    ob.OBAtomAtomIter = lambda atom: iter(atom.neighbors)
-    ob.__getattr__ = _getattr  # PEP 562
-    pybel = types.ModuleType("openbabel.pybel")
-    pybel.ob = ob
-    pybel.__getattr__ = _getattr
-    openbabel = types.ModuleType("openbabel")
-    openbabel.pybel = pybel
-    openbabel.__getattr__ = _getattr
-    sys.modules["openbabel"] = openbabel
-    sys.modules["openbabel.pybel"] = pybel
+    install_openbabel_stub()
 
 
 def _import_reference_scoring():
